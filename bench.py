@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark: MD throughput of the flagship SevenNet-0 architecture.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Measures NVE MD steps/s on a water box with the SevenNet-0 architecture
+(cutoff 5.0 A, 5 conv layers, 128x0e+64x1e+32x2e, lmax 2, SO(3); see the
+reference preset ``sevenn/presets/sevennet-0.yaml``) with randomly
+initialized weights (throughput is weight-independent), converted to
+ns/day at dt=2 fs.
+
+Baseline: the reference publishes no ns/day figures (BASELINE.md); we use
+an estimated A100 GPU-LAMMPS throughput for SevenNet-0 at this system size
+of 2.0 ns/day (~1.2e5 atom-steps/s) as the comparison point.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sevennet_tpu_jax_cache")
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sevennet_tpu.model import build_model_spec
+from sevennet_tpu.model.model import model_init
+from sevennet_tpu.md import MDEngine
+
+N_ATOMS = int(os.environ.get("BENCH_ATOMS", 3000))
+N_STEPS = int(os.environ.get("BENCH_STEPS", 20))
+DT_FS = 2.0
+BASELINE_NS_DAY = 2.0  # assumed A100 GPU-LAMMPS, SevenNet-0, this size
+
+
+def water_box(n_molecules: int, density_g_cm3: float = 1.0, seed: int = 0):
+    """Simple-cubic lattice of water molecules (good enough for perf)."""
+    mass_h2o = 18.015
+    n_av = 6.02214076e23
+    vol_cm3 = n_molecules * mass_h2o / (n_av * density_g_cm3)
+    box = (vol_cm3 ** (1 / 3)) * 1e8  # cm -> Angstrom
+    n_side = int(np.ceil(n_molecules ** (1 / 3)))
+    a = box / n_side
+    rng = np.random.default_rng(seed)
+    pos, Z = [], []
+    count = 0
+    for i in range(n_side):
+        for j in range(n_side):
+            for k in range(n_side):
+                if count >= n_molecules:
+                    break
+                o = (np.array([i, j, k]) + 0.5) * a
+                pos += [o, o + [0.757, 0.586, 0.0], o + [-0.757, 0.586, 0.0]]
+                Z += [8, 1, 1]
+                count += 1
+    pos = np.asarray(pos) + rng.normal(scale=0.01, size=(len(pos), 3))
+    return pos, np.asarray(Z), np.eye(3) * box
+
+
+def main():
+    n_mol = N_ATOMS // 3
+    pos, Z, cell = water_box(n_mol)
+    spec = build_model_spec(
+        {
+            "cutoff": 5.0,
+            "channel": 128,
+            "lmax": 2,
+            "is_parity": False,
+            "num_convolution_layer": 5,
+            "irreps_manual": [
+                "128x0e",
+                "128x0e+64x1e+32x2e",
+                "128x0e+64x1e+32x2e",
+                "128x0e+64x1e+32x2e",
+                "128x0e+64x1e+32x2e",
+                "128x0e",
+            ],
+            "weight_nn_hidden_neurons": [64, 64],
+            "radial_basis": {"radial_basis_name": "bessel", "bessel_basis_num": 8},
+            "cutoff_function": {"cutoff_function_name": "XPLOR", "cutoff_on": 4.5},
+            "self_connection_type": "linear",
+            "conv_denominator": 35.0,
+            "chemical_species": ["H", "O"],
+        }
+    )
+    params = model_init(jax.random.PRNGKey(0), spec)
+    engine = MDEngine(
+        spec, params, cell, matmul_precision=os.environ.get("BENCH_PRECISION", "default")
+    )
+    state = engine.make_state(pos, Z, temperature=300.0)
+
+    # warmup (compile)
+    state, _ = engine.run(state, 2, dt=DT_FS, integrator="nve")
+    jax.block_until_ready(state.positions)
+
+    t0 = time.perf_counter()
+    state, _ = engine.run(state, N_STEPS, dt=DT_FS, integrator="nve")
+    jax.block_until_ready(state.positions)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_s = N_STEPS / elapsed
+    ns_day = steps_per_s * DT_FS * 1e-6 * 86400
+    print(
+        json.dumps(
+            {
+                "metric": f"sevennet0_water_nve_md_{len(Z)}atoms",
+                "value": round(ns_day, 4),
+                "unit": "ns/day",
+                "vs_baseline": round(ns_day / BASELINE_NS_DAY, 4),
+                "extra": {
+                    "atom_steps_per_s": round(steps_per_s * len(Z), 1),
+                    "ms_per_step": round(1e3 / steps_per_s, 2),
+                    "n_atoms": int(len(Z)),
+                    "device": str(jax.devices()[0].platform),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

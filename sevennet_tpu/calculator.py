@@ -1,0 +1,148 @@
+"""Single-point calculator (the TPU analogue of the reference
+``SevenNetCalculator``, ``sevenn/calculator.py:20-233``).
+
+Design differences from the torch reference, driven by XLA's compile-once
+model:
+
+- graphs are padded to bucketed capacities so repeated calls with similar
+  system sizes reuse one compiled executable; capacities grow geometrically
+  (x1.25, like the reference's adaptive edge bound, ``pair_e3gnn.cpp:283-288``);
+- the jitted function computes energy+forces+stress in one fused program;
+- results use ASE conventions: ``stress`` in eV/A^3, Voigt order
+  (xx,yy,zz,yz,xz,xy) with the sign flip the reference applies at
+  ``calculator.py:198-203``.
+
+Works with :class:`~sevennet_tpu.atoms.AtomsLite` or real ``ase.Atoms``.
+If ASE is importable, :func:`SevenNetTPUCalculator.as_ase` returns a genuine
+``ase.calculators.calculator.Calculator`` subclass.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from .atoms import as_atoms
+from .data.graph import batch_graphs, graph_from_arrays
+from .data.neighborlist import neighbor_list_numpy
+from .model.build import ModelSpec
+from .model.model import model_compute
+
+__all__ = ["SevenNetTPUCalculator"]
+
+# reorder model stress (xx,yy,zz,xy,yz,zx) -> ASE voigt (xx,yy,zz,yz,xz,xy)
+_VOIGT_REORDER = (0, 1, 2, 4, 5, 3)
+
+
+def _bucket(n: int, base: int = 16, factor: float = 1.25) -> int:
+    """Smallest capacity of the geometric bucket ladder holding n."""
+    cap = base
+    while cap < n:
+        cap = int(math.ceil(cap * factor))
+    return cap
+
+
+class SevenNetTPUCalculator:
+    def __init__(
+        self,
+        model: str | ModelSpec = None,
+        params: Optional[Dict[str, Any]] = None,
+        matmul_precision: str = "highest",
+        compute_stress: bool = True,
+    ):
+        """``model`` is a path to a SevenNet ``.pth`` checkpoint, a path to a
+        native checkpoint directory, or an already-built ``ModelSpec`` (then
+        ``params`` must be given)."""
+        if isinstance(model, ModelSpec):
+            assert params is not None
+            spec = model
+        else:
+            from .io import load_sevennet_checkpoint
+
+            spec, params = load_sevennet_checkpoint(str(model))
+        self.spec = spec
+        self.params = params
+        self.compute_stress = compute_stress
+        self._precision = matmul_precision
+        self._jitted = {}
+        self.results: Dict[str, Any] = {}
+
+    # -- core -----------------------------------------------------------------
+    def _compute_fn(self):
+        if "fn" not in self._jitted:
+            spec = self.spec
+            prec = self._precision
+
+            def fn(params, graph):
+                with jax.default_matmul_precision(prec):
+                    return model_compute(spec, params, graph, self.compute_stress)
+
+            self._jitted["fn"] = jax.jit(fn)
+        return self._jitted["fn"]
+
+    def calculate(self, atoms) -> Dict[str, Any]:
+        at = as_atoms(atoms)
+        n = len(at)
+        species = self.spec.z_to_type[at.numbers]
+        if (species < 0).any():
+            bad = sorted(set(at.numbers[species < 0].tolist()))
+            raise ValueError(f"model does not know atomic numbers {bad}")
+
+        dst, src, shifts = neighbor_list_numpy(
+            at.positions, self.spec.cutoff, at.cell, at.pbc
+        )
+        g = graph_from_arrays(
+            at.positions, species, src, dst, shifts,
+            at.cell if at.cell is not None else None,
+        )
+        gb = batch_graphs(
+            [g], n_atoms_cap=_bucket(n), n_edges_cap=_bucket(max(len(dst), 1))
+        )
+        out = self._compute_fn()(self.params, gb)
+
+        energy = float(out["energy"][0])
+        forces = np.asarray(out["forces"])[:n]
+        energies = np.asarray(out["atomic_energy"])[:n]
+        results = {
+            "energy": energy,
+            "free_energy": energy,
+            "forces": forces,
+            "energies": energies,
+        }
+        if self.compute_stress and at.cell is not None and at.pbc.any():
+            s = np.asarray(out["stress"])[0]
+            results["stress"] = -s[list(_VOIGT_REORDER)]
+            results["atomic_virial"] = np.asarray(out["atomic_virial"])[:n]
+        self.results = results
+        return results
+
+    # -- ASE-style convenience ------------------------------------------------
+    def get_potential_energy(self, atoms) -> float:
+        return self.calculate(atoms)["energy"]
+
+    def get_forces(self, atoms) -> np.ndarray:
+        return self.calculate(atoms)["forces"]
+
+    def get_stress(self, atoms) -> np.ndarray:
+        return self.calculate(atoms)["stress"]
+
+    def as_ase(self):
+        """Return a real ``ase.calculators`` Calculator wrapping this one
+        (requires ASE installed)."""
+        from ase.calculators.calculator import Calculator, all_changes
+
+        parent = self
+
+        class _ASECalc(Calculator):
+            implemented_properties = [
+                "energy", "free_energy", "forces", "stress", "energies",
+            ]
+
+            def calculate(self, atoms=None, properties=None, system_changes=all_changes):
+                super().calculate(atoms, properties, system_changes)
+                self.results = dict(parent.calculate(atoms))
+
+        return _ASECalc()

@@ -1,0 +1,220 @@
+"""Padded, fixed-shape atom-graph batches (the TPU-native data model).
+
+The reference framework passes a ``Dict[str, Tensor]`` with dynamic shapes
+through every module (``sevenn/atom_graph_data.py``). On TPU everything under
+``jit`` must have static shapes, so the de-facto interface here is
+:class:`GraphBatch`: a frozen pytree of arrays padded to fixed capacities
+``(n_atoms_cap, n_edges_cap, n_graphs_cap)`` with boolean masks.
+
+Conventions (matching the reference semantics):
+
+- ``edge_src`` is the *sender* (reference ``EDGE_IDX[1]``), ``edge_dst`` the
+  *receiver* (reference ``EDGE_IDX[0]``); messages flow src -> dst
+  (``sevenn/nn/convolution.py:128-133``).
+- ``edge_vec = pos[src] - pos[dst] + shift @ cell[graph(dst)]`` (reference
+  ``EdgePreprocess``, ``sevenn/nn/edge_embedding.py:63-77``).
+- Padding atoms/edges point at index 0; masks zero their contributions.
+- Labels use NaN for "unlabeled" like the reference loss masking
+  (``sevenn/train/loss.py:49-60``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+__all__ = ["GraphBatch", "graph_from_arrays", "batch_graphs", "pad_graph"]
+
+
+@struct.dataclass
+class GraphBatch:
+    # atoms
+    positions: jnp.ndarray  # (N, 3) float
+    species: jnp.ndarray  # (N,) int32 type indices (NOT atomic numbers)
+    atom_mask: jnp.ndarray  # (N,) bool
+    batch: jnp.ndarray  # (N,) int32 graph index
+    # edges
+    edge_src: jnp.ndarray  # (E,) int32 sender
+    edge_dst: jnp.ndarray  # (E,) int32 receiver
+    edge_shift: jnp.ndarray  # (E, 3) float cell-shift counts
+    edge_mask: jnp.ndarray  # (E,) bool
+    # graphs
+    cell: jnp.ndarray  # (G, 3, 3) float (rows are lattice vectors)
+    volume: jnp.ndarray  # (G,) float (>= small eps for non-PBC)
+    num_atoms: jnp.ndarray  # (G,) int32
+    graph_mask: jnp.ndarray  # (G,) bool
+    # labels (NaN = unlabeled)
+    energy: Optional[jnp.ndarray] = None  # (G,)
+    forces: Optional[jnp.ndarray] = None  # (N, 3)
+    stress: Optional[jnp.ndarray] = None  # (G, 6) eV/A^3, voigt (xx,yy,zz,xy,yz,zx)
+    # optional multi-fidelity modality index per graph
+    modal: Optional[jnp.ndarray] = None  # (G,) int32
+
+    @property
+    def n_atoms_cap(self) -> int:
+        return self.positions.shape[0]
+
+    @property
+    def n_edges_cap(self) -> int:
+        return self.edge_src.shape[0]
+
+    @property
+    def n_graphs_cap(self) -> int:
+        return self.cell.shape[0]
+
+    def edge_vectors(self, positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        pos = self.positions if positions is None else positions
+        cell_per_edge = self.cell[self.batch[self.edge_dst]]
+        return (
+            pos[self.edge_src]
+            - pos[self.edge_dst]
+            + jnp.einsum("ei,eij->ej", self.edge_shift, cell_per_edge)
+        )
+
+
+def graph_from_arrays(
+    positions: np.ndarray,
+    species: np.ndarray,
+    edge_src: np.ndarray,
+    edge_dst: np.ndarray,
+    edge_shift: np.ndarray,
+    cell: Optional[np.ndarray] = None,
+    energy: float = np.nan,
+    forces: Optional[np.ndarray] = None,
+    stress: Optional[np.ndarray] = None,
+    modal: int = 0,
+    dtype=np.float32,
+) -> GraphBatch:
+    """Single unpadded graph (host-side numpy). Species are type indices."""
+    n = len(positions)
+    e = len(edge_src)
+    if cell is None:
+        cell = np.zeros((3, 3))
+        volume = 0.0
+    else:
+        volume = float(abs(np.linalg.det(cell)))
+    if forces is None:
+        forces = np.full((n, 3), np.nan)
+    if stress is None:
+        stress = np.full((6,), np.nan)
+    return GraphBatch(
+        positions=jnp.asarray(positions, dtype),
+        species=jnp.asarray(species, jnp.int32),
+        atom_mask=jnp.ones((n,), bool),
+        batch=jnp.zeros((n,), jnp.int32),
+        edge_src=jnp.asarray(edge_src, jnp.int32),
+        edge_dst=jnp.asarray(edge_dst, jnp.int32),
+        edge_shift=jnp.asarray(edge_shift, dtype),
+        edge_mask=jnp.ones((e,), bool),
+        cell=jnp.asarray(cell, dtype)[None],
+        volume=jnp.asarray([max(volume, 1e-3)], dtype),
+        num_atoms=jnp.asarray([n], jnp.int32),
+        graph_mask=jnp.ones((1,), bool),
+        energy=jnp.asarray([energy], dtype),
+        forces=jnp.asarray(forces, dtype),
+        stress=jnp.asarray(stress, dtype)[None],
+        modal=jnp.asarray([modal], jnp.int32),
+    )
+
+
+def _pad_to(arr: np.ndarray, n: int, fill=0):
+    pad = n - arr.shape[0]
+    assert pad >= 0, f"capacity {n} < size {arr.shape[0]}"
+    if pad == 0:
+        return np.asarray(arr)
+    pad_block = np.full((pad,) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([np.asarray(arr), pad_block], axis=0)
+
+
+def batch_graphs(
+    graphs: Sequence[GraphBatch],
+    n_atoms_cap: Optional[int] = None,
+    n_edges_cap: Optional[int] = None,
+    n_graphs_cap: Optional[int] = None,
+    dtype=np.float32,
+) -> GraphBatch:
+    """Concatenate single graphs into one padded batch (host-side)."""
+    gs = [jnp_to_np(g) for g in graphs]
+    n_tot = sum(g["positions"].shape[0] for g in gs)
+    e_tot = sum(g["edge_src"].shape[0] for g in gs)
+    g_tot = len(gs)
+    n_cap = n_atoms_cap or n_tot
+    e_cap = n_edges_cap or e_tot
+    g_cap = n_graphs_cap or g_tot
+    assert n_cap >= n_tot and e_cap >= e_tot and g_cap >= g_tot
+
+    pos, spec, bat, f = [], [], [], []
+    esrc, edst, eshift = [], [], []
+    cells, vols, natoms, energies, stresses, modals = [], [], [], [], [], []
+    a_off = 0
+    for gi, g in enumerate(gs):
+        n = g["positions"].shape[0]
+        pos.append(g["positions"])
+        spec.append(g["species"])
+        bat.append(np.full((n,), gi, np.int32))
+        f.append(g["forces"])
+        esrc.append(g["edge_src"] + a_off)
+        edst.append(g["edge_dst"] + a_off)
+        eshift.append(g["edge_shift"])
+        cells.append(g["cell"][0])
+        vols.append(g["volume"][0])
+        natoms.append(n)
+        energies.append(g["energy"][0])
+        stresses.append(g["stress"][0])
+        modals.append(g["modal"][0] if g.get("modal") is not None else 0)
+        a_off += n
+
+    cat = lambda xs: np.concatenate(xs, axis=0) if xs else np.zeros((0,))
+    positions = _pad_to(cat(pos).astype(dtype), n_cap)
+    species = _pad_to(cat(spec).astype(np.int32), n_cap)
+    atom_mask = _pad_to(np.ones((n_tot,), bool), n_cap, fill=False)
+    batch = _pad_to(cat(bat).astype(np.int32), n_cap, fill=g_cap - 1)
+    forces = _pad_to(cat(f).astype(dtype), n_cap)
+    edge_src = _pad_to(cat(esrc).astype(np.int32), e_cap)
+    edge_dst = _pad_to(cat(edst).astype(np.int32), e_cap)
+    edge_shift = _pad_to(cat(eshift).astype(dtype), e_cap)
+    edge_mask = _pad_to(np.ones((e_tot,), bool), e_cap, fill=False)
+    cell = _pad_to(np.stack(cells).astype(dtype), g_cap)
+    volume = _pad_to(np.asarray(vols, dtype), g_cap, fill=1.0)
+    num_atoms = _pad_to(np.asarray(natoms, np.int32), g_cap, fill=1)
+    graph_mask = _pad_to(np.ones((g_tot,), bool), g_cap, fill=False)
+    energy = _pad_to(np.asarray(energies, dtype), g_cap, fill=np.nan)
+    stress = _pad_to(np.stack(stresses).astype(dtype), g_cap, fill=np.nan)
+    modal = _pad_to(np.asarray(modals, np.int32), g_cap)
+
+    return GraphBatch(
+        positions=jnp.asarray(positions),
+        species=jnp.asarray(species),
+        atom_mask=jnp.asarray(atom_mask),
+        batch=jnp.asarray(batch),
+        edge_src=jnp.asarray(edge_src),
+        edge_dst=jnp.asarray(edge_dst),
+        edge_shift=jnp.asarray(edge_shift),
+        edge_mask=jnp.asarray(edge_mask),
+        cell=jnp.asarray(cell),
+        volume=jnp.asarray(volume),
+        num_atoms=jnp.asarray(num_atoms),
+        graph_mask=jnp.asarray(graph_mask),
+        energy=jnp.asarray(energy),
+        forces=jnp.asarray(forces),
+        stress=jnp.asarray(stress),
+        modal=jnp.asarray(modal),
+    )
+
+
+def jnp_to_np(g: GraphBatch) -> dict:
+    out = {}
+    for k in (
+        "positions species atom_mask batch edge_src edge_dst edge_shift "
+        "edge_mask cell volume num_atoms graph_mask energy forces stress modal"
+    ).split():
+        v = getattr(g, k)
+        out[k] = None if v is None else np.asarray(v)
+    return out
+
+
+def pad_graph(g: GraphBatch, n_atoms_cap: int, n_edges_cap: int) -> GraphBatch:
+    return batch_graphs([g], n_atoms_cap=n_atoms_cap, n_edges_cap=n_edges_cap)

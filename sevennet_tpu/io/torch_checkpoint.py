@@ -1,0 +1,126 @@
+"""Load stock SevenNet torch checkpoints (``.pth``) into this framework.
+
+The reference checkpoint layout (``sevenn/train/trainer.py:194-214``) is a
+dict with ``model_state_dict`` / ``config`` / optimizer state. Layer names in
+the state dict (``0_self_interaction_1.linear.weight`` ...) map 1:1 onto our
+parameter pytree keys; flat e3nn weight vectors are unpacked into
+per-instruction matrices (see :mod:`sevennet_tpu.ops.linear`).
+
+torch is only required by this module (host-side, CPU) — the rest of the
+framework never imports it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from ..model.build import ModelSpec, build_model_spec
+from ..ops.linear import LinearSpec, linear_unpack
+
+__all__ = ["load_sevennet_checkpoint", "params_from_torch_state_dict", "spec_config_from_checkpoint"]
+
+
+def _to_numpy_state_dict(sd) -> Dict[str, np.ndarray]:
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def spec_config_from_checkpoint(config: Dict[str, Any], sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Extract a numeric model config: string placeholders like
+    'avg_num_neigh' shift/scale are replaced by the resolved values stored in
+    the state dict (mirrors reference continue semantics,
+    ``scripts/processing_continue.py:43-55``)."""
+    cfg = dict(config)
+    # resolved shift/scale from weights
+    shift = sd["rescale_atomic_energy.shift"]
+    scale = sd["rescale_atomic_energy.scale"]
+    cfg["shift"] = shift.tolist() if shift.size > 1 else float(shift.reshape(-1)[0])
+    cfg["scale"] = scale.tolist() if scale.size > 1 else float(scale.reshape(-1)[0])
+    nconv = int(cfg["num_convolution_layer"])
+    cfg["conv_denominator"] = [
+        float(sd[f"{t}_convolution.denominator"].reshape(-1)[0]) for t in range(nconv)
+    ]
+    return cfg
+
+
+def params_from_torch_state_dict(
+    spec: ModelSpec, sd: Dict[str, np.ndarray], dtype=None
+) -> Dict[str, Any]:
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+
+    def _lin(name: str, lspec: LinearSpec):
+        flat = sd[f"{name}.linear.weight"]
+        bias = sd.get(f"{name}.linear.bias")
+        if bias is not None and bias.size == 0:
+            bias = None
+        return linear_unpack(lspec, flat, bias)
+
+    params: Dict[str, Any] = {}
+    params["edge_embedding"] = {
+        "bessel_coeffs": jnp.asarray(sd["edge_embedding.basis_function.coeffs"], dtype)
+    }
+    params["onehot_to_feature_x"] = _lin("onehot_to_feature_x", spec.embed_linear)
+
+    for layer in spec.layers:
+        t = layer.t
+        if layer.sc_type == "nequip":
+            flat = sd[f"{t}_self_connection_intro.fc_tensor_product.weight"]
+            ws, off = [], 0
+            for shape in layer.sc_fctp.weight_shapes:
+                n = int(np.prod(shape))
+                ws.append(jnp.asarray(flat[off : off + n].reshape(shape), dtype))
+                off += n
+            assert off == flat.size, f"FCTP weight numel mismatch at layer {t}"
+            params[f"{t}_self_connection_intro"] = {"w": ws}
+        elif layer.sc_type == "linear":
+            params[f"{t}_self_connection_intro"] = _lin(
+                f"{t}_self_connection_intro", layer.sc_linear
+            )
+        params[f"{t}_self_interaction_1"] = _lin(f"{t}_self_interaction_1", layer.si1)
+        mlp_ws = []
+        i = 0
+        while f"{t}_convolution.weight_nn.layer{i}.weight" in sd:
+            mlp_ws.append(
+                jnp.asarray(sd[f"{t}_convolution.weight_nn.layer{i}.weight"], dtype)
+            )
+            i += 1
+        assert len(mlp_ws) == len(layer.radial_mlp.dims) - 1
+        params[f"{t}_convolution"] = {
+            "weight_nn": {"w": mlp_ws},
+            "denominator": jnp.asarray(
+                sd[f"{t}_convolution.denominator"].reshape(-1), dtype
+            ),
+        }
+        params[f"{t}_self_interaction_2"] = _lin(f"{t}_self_interaction_2", layer.si2)
+
+    if spec.readout_as_fcn:
+        mlp_ws = []
+        i = 0
+        while f"readout_FCN.fcn.layer{i}.weight" in sd:
+            mlp_ws.append(jnp.asarray(sd[f"readout_FCN.fcn.layer{i}.weight"], dtype))
+            i += 1
+        params["readout_FCN"] = {"w": mlp_ws}
+    else:
+        params["reduce_input_to_hidden"] = _lin("reduce_input_to_hidden", spec.readout1)
+        params["reduce_hidden_to_energy"] = _lin("reduce_hidden_to_energy", spec.readout2)
+
+    params["rescale_atomic_energy"] = {
+        "shift": jnp.asarray(sd["rescale_atomic_energy.shift"].reshape(-1), dtype),
+        "scale": jnp.asarray(sd["rescale_atomic_energy.scale"].reshape(-1), dtype),
+    }
+    return params
+
+
+def load_sevennet_checkpoint(path: str, dtype=None) -> Tuple[ModelSpec, Dict[str, Any]]:
+    """Read a stock SevenNet ``.pth`` checkpoint -> (spec, params)."""
+    import torch
+
+    cp = torch.load(path, map_location="cpu", weights_only=False)
+    sd = _to_numpy_state_dict(cp["model_state_dict"])
+    cfg = spec_config_from_checkpoint(cp["config"], sd)
+    spec = build_model_spec(cfg)
+    params = params_from_torch_state_dict(spec, sd, dtype=dtype)
+    return spec, params

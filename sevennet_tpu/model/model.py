@@ -1,0 +1,221 @@
+"""Functional model: parameter init + forward (energy) + derivatives.
+
+The TPU-native redesign of the reference's ``AtomGraphSequential`` pipeline
+(``sevenn/nn/sequential.py``): a pure function over a padded
+:class:`~sevennet_tpu.data.graph.GraphBatch`. Forces and stress come from
+``jax.grad`` of the total energy with respect to *edge vectors*, mirroring
+``ForceStressOutputFromEdge`` (``sevenn/nn/force_output.py:139-230``) — the
+formulation that keeps the physics local per domain and thus compatible with
+spatial decomposition across a TPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.graph import GraphBatch
+from ..ops.gate import gate_apply
+from ..ops.linear import linear_apply, linear_init
+from ..ops.mlp import scalar_mlp_apply, scalar_mlp_init
+from ..ops.radial import bessel_basis, bessel_coeffs_init, poly_cutoff, xplor_cutoff
+from ..ops.tensor_product import conv_tp_apply, fctp_apply, fctp_init
+from ..so3.spherical import spherical_harmonics
+from .build import ModelSpec
+
+__all__ = ["model_init", "model_energy", "model_compute", "SevenNetTPU"]
+
+
+def model_init(key, spec: ModelSpec, dtype=jnp.float32) -> Dict[str, Any]:
+    """Initialize a parameter pytree keyed by reference layer names."""
+    params: Dict[str, Any] = {}
+    keys = iter(jax.random.split(key, 8 + 8 * len(spec.layers)))
+    params["edge_embedding"] = {
+        "bessel_coeffs": jnp.asarray(
+            bessel_coeffs_init(spec.cutoff, spec.radial_basis_num), dtype
+        )
+    }
+    params["onehot_to_feature_x"] = linear_init(next(keys), spec.embed_linear, dtype)
+    for layer in spec.layers:
+        t = layer.t
+        if layer.sc_type == "nequip":
+            params[f"{t}_self_connection_intro"] = fctp_init(
+                next(keys), layer.sc_fctp, dtype
+            )
+        elif layer.sc_type == "linear":
+            params[f"{t}_self_connection_intro"] = linear_init(
+                next(keys), layer.sc_linear, dtype
+            )
+        params[f"{t}_self_interaction_1"] = linear_init(next(keys), layer.si1, dtype)
+        params[f"{t}_convolution"] = {
+            "weight_nn": scalar_mlp_init(next(keys), layer.radial_mlp, dtype),
+            "denominator": jnp.asarray([layer.denominator_init], dtype),
+        }
+        params[f"{t}_self_interaction_2"] = linear_init(next(keys), layer.si2, dtype)
+    if spec.readout_as_fcn:
+        params["readout_FCN"] = scalar_mlp_init(next(keys), spec.readout_fcn, dtype)
+    else:
+        params["reduce_input_to_hidden"] = linear_init(next(keys), spec.readout1, dtype)
+        params["reduce_hidden_to_energy"] = linear_init(next(keys), spec.readout2, dtype)
+    params["rescale_atomic_energy"] = {
+        "shift": jnp.asarray(spec.shift_init, dtype),
+        "scale": jnp.asarray(spec.scale_init, dtype),
+    }
+    return params
+
+
+def _cutoff_envelope(spec: ModelSpec, r):
+    kind, arg = spec.cutoff_fn
+    if kind == "poly_cut":
+        return poly_cutoff(r, spec.cutoff, p=int(arg))
+    return xplor_cutoff(r, spec.cutoff, arg)
+
+
+def model_energy(
+    spec: ModelSpec,
+    params: Dict[str, Any],
+    graph: GraphBatch,
+    edge_vec: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
+    """Pure energy evaluation given explicit edge vectors.
+
+    Returns per-atom energies (masked) and per-graph total energies.
+    """
+    dtype = edge_vec.dtype
+    atom_mask = graph.atom_mask.astype(dtype)
+    edge_mask = graph.edge_mask.astype(dtype)
+
+    # guard padded edges: replace with a unit vector so norms/grads are finite
+    fallback = jnp.array([1.0, 0.0, 0.0], dtype=dtype)
+    ev = jnp.where(graph.edge_mask[:, None], edge_vec, fallback)
+
+    r = jnp.linalg.norm(ev, axis=-1)
+    basis = bessel_basis(r, params["edge_embedding"]["bessel_coeffs"], spec.cutoff)
+    env = _cutoff_envelope(spec, r)
+    edge_emb = basis * (env * edge_mask)[:, None]  # (E, nb), zero on padding
+    sh = spherical_harmonics(spec.lmax_edge, ev, normalize=spec.normalize_sph)
+
+    onehot = jax.nn.one_hot(graph.species, spec.num_species, dtype=dtype)
+    x = linear_apply(spec.embed_linear, params["onehot_to_feature_x"], onehot)
+
+    n_atoms = graph.n_atoms_cap
+    for layer in spec.layers:
+        t = layer.t
+        if layer.sc_type == "nequip":
+            sc = fctp_apply(
+                layer.sc_fctp, params[f"{t}_self_connection_intro"], x, onehot
+            )
+        elif layer.sc_type == "linear":
+            sc = linear_apply(
+                layer.sc_linear, params[f"{t}_self_connection_intro"], x
+            )
+        else:
+            sc = None
+        x = linear_apply(layer.si1, params[f"{t}_self_interaction_1"], x)
+        w = scalar_mlp_apply(
+            layer.radial_mlp, params[f"{t}_convolution"]["weight_nn"], edge_emb
+        )
+        msg = conv_tp_apply(layer.conv, x[graph.edge_src], sh, w)
+        x = jax.ops.segment_sum(msg, graph.edge_dst, num_segments=n_atoms)
+        x = x / params[f"{t}_convolution"]["denominator"][0]
+        x = linear_apply(layer.si2, params[f"{t}_self_interaction_2"], x)
+        if sc is not None:
+            x = x + sc
+        x = gate_apply(layer.gate, x)
+
+    if spec.readout_as_fcn:
+        e_scaled = scalar_mlp_apply(spec.readout_fcn, params["readout_FCN"], x)
+    else:
+        h = linear_apply(spec.readout1, params["reduce_input_to_hidden"], x)
+        e_scaled = linear_apply(spec.readout2, params["reduce_hidden_to_energy"], h)
+    e_scaled = e_scaled[:, 0]  # (N,)
+
+    rs = params["rescale_atomic_energy"]
+    if spec.rescale_mode == "species":
+        shift = rs["shift"][graph.species]
+        scale = rs["scale"][graph.species]
+    else:
+        shift = rs["shift"][0]
+        scale = rs["scale"][0]
+    e_atom = (e_scaled * scale + shift) * atom_mask
+
+    e_graph = jax.ops.segment_sum(
+        e_atom, graph.batch, num_segments=graph.n_graphs_cap
+    )
+    e_graph = e_graph * graph.graph_mask.astype(dtype)
+    return {"atomic_energy": e_atom, "energy": e_graph}
+
+
+def model_compute(
+    spec: ModelSpec,
+    params: Dict[str, Any],
+    graph: GraphBatch,
+    compute_stress: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Energy, forces and stress.
+
+    Forces: ``F_i = sum_{e: dst=i} f_e - sum_{e: src=i} f_e`` with
+    ``f_e = dE/d(edge_vec_e)``; per-atom virial scattered at the sender and
+    stress ``-sum virial / V`` in Voigt order (xx,yy,zz,xy,yz,zx) — exactly
+    the reference ``ForceStressOutputFromEdge`` (``force_output.py:171-230``).
+    """
+    edge_vec = graph.edge_vectors()
+
+    def etot(ev):
+        out = model_energy(spec, params, graph, ev)
+        return jnp.sum(out["energy"]), out
+
+    (_, out), fij = jax.value_and_grad(etot, has_aux=True)(edge_vec)
+
+    n = graph.n_atoms_cap
+    pf = jax.ops.segment_sum(fij, graph.edge_dst, num_segments=n)
+    nf = jax.ops.segment_sum(fij, graph.edge_src, num_segments=n)
+    forces = (pf - nf) * graph.atom_mask.astype(fij.dtype)[:, None]
+    out["forces"] = forces
+
+    if compute_stress:
+        rij = edge_vec
+        diag = rij * fij
+        v6 = jnp.concatenate(
+            [
+                diag,
+                (rij[:, 0] * fij[:, 1])[:, None],
+                (rij[:, 1] * fij[:, 2])[:, None],
+                (rij[:, 2] * fij[:, 0])[:, None],
+            ],
+            axis=-1,
+        )
+        atomic_virial = -jax.ops.segment_sum(
+            v6, graph.edge_src, num_segments=n
+        )
+        virial_graph = jax.ops.segment_sum(
+            atomic_virial, graph.batch, num_segments=graph.n_graphs_cap
+        )
+        out["atomic_virial"] = atomic_virial
+        out["stress"] = virial_graph / graph.volume[:, None]
+    return out
+
+
+class SevenNetTPU:
+    """Convenience wrapper bundling a spec with jitted entry points."""
+
+    def __init__(self, spec: ModelSpec):
+        self.spec = spec
+        self._compute = jax.jit(
+            lambda params, graph: model_compute(spec, params, graph)
+        )
+
+    def init(self, key=None, dtype=jnp.float32):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return model_init(key, self.spec, dtype)
+
+    def __call__(self, params, graph: GraphBatch):
+        return self._compute(params, graph)
+
+    @property
+    def z_to_type(self) -> np.ndarray:
+        return self.spec.z_to_type

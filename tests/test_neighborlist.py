@@ -1,0 +1,79 @@
+import numpy as np
+
+from sevennet_tpu.data import neighbor_list_numpy
+
+
+def brute_force_nl(pos, cutoff, cell=None, pbc=(False,) * 3, max_img=3):
+    n = len(pos)
+    edges = set()
+    rng = [range(-max_img, max_img + 1) if p else [0] for p in pbc]
+    for sa in rng[0]:
+        for sb in rng[1]:
+            for sc in rng[2]:
+                S = np.array([sa, sb, sc], float)
+                off = S @ cell if cell is not None else np.zeros(3)
+                for i in range(n):
+                    for j in range(n):
+                        if i == j and sa == sb == sc == 0:
+                            continue
+                        if np.linalg.norm(pos[j] + off - pos[i]) < cutoff:
+                            edges.add((i, j, sa, sb, sc))
+    return edges
+
+
+def as_set(dst, src, S):
+    return set(zip(dst.tolist(), src.tolist(), *[S[:, k].astype(int).tolist() for k in range(3)]))
+
+
+def test_molecular():
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 8, (30, 3))
+    dst, src, S = neighbor_list_numpy(pos, 3.0)
+    assert as_set(dst, src, S) == brute_force_nl(pos, 3.0)
+    assert (S == 0).all()
+
+
+def test_cubic_pbc():
+    rng = np.random.default_rng(1)
+    cell = np.eye(3) * 6.0
+    pos = rng.uniform(0, 6, (20, 3))
+    dst, src, S = neighbor_list_numpy(pos, 2.9, cell, True)
+    assert as_set(dst, src, S) == brute_force_nl(pos, 2.9, cell, (True,) * 3)
+
+
+def test_triclinic_pbc_unwrapped():
+    rng = np.random.default_rng(2)
+    cell = np.array([[6.0, 0, 0], [1.5, 5.5, 0], [-0.7, 0.9, 6.2]])
+    pos = rng.uniform(-4, 10, (15, 3))  # intentionally unwrapped
+    dst, src, S = neighbor_list_numpy(pos, 3.0, cell, True)
+    assert as_set(dst, src, S) == brute_force_nl(pos, 3.0, cell, (True,) * 3)
+
+
+def test_small_cell_multiple_images():
+    # cell smaller than cutoff: same-atom PBC self edges must appear
+    cell = np.eye(3) * 2.0
+    pos = np.array([[0.5, 0.5, 0.5]])
+    dst, src, S = neighbor_list_numpy(pos, 4.5, cell, True)
+    assert as_set(dst, src, S) == brute_force_nl(pos, 4.5, cell, (True,) * 3)
+    assert len(dst) > 0 and (dst == src).all()
+
+
+def test_mixed_pbc_slab():
+    rng = np.random.default_rng(3)
+    cell = np.eye(3) * 5.0
+    pos = rng.uniform(0, 5, (12, 3))
+    dst, src, S = neighbor_list_numpy(pos, 2.4, cell, (True, True, False))
+    assert as_set(dst, src, S) == brute_force_nl(pos, 2.4, cell, (True, True, False))
+    assert (S[:, 2] == 0).all()
+
+
+def test_displacement_consistency():
+    """D = pos[src] + S@cell - pos[dst] must all be below cutoff."""
+    rng = np.random.default_rng(4)
+    cell = np.array([[5.0, 0, 0], [0.5, 4.5, 0], [0, 0.3, 5.5]])
+    pos = rng.uniform(0, 5, (25, 3))
+    cutoff = 3.1
+    dst, src, S = neighbor_list_numpy(pos, cutoff, cell, True)
+    D = pos[src] + S @ cell - pos[dst]
+    r = np.linalg.norm(D, axis=1)
+    assert (r < cutoff).all() and (r > 1e-8).all()
