@@ -84,6 +84,7 @@ def main():
             "self_connection_type": "linear",
             "conv_denominator": 35.0,
             "chemical_species": ["H", "O"],
+            "_edge_chunk": int(os.environ.get("BENCH_EDGE_CHUNK", 16384)),
         }
     )
     params = model_init(jax.random.PRNGKey(0), spec)

@@ -1,0 +1,198 @@
+"""``sevennet-tpu`` CLI: one entry with subcommands, mirroring the reference
+``sevenn`` binary (``sevenn/main/sevenn.py:244-279``):
+
+  train        train from input.yaml
+  inference    batch evaluation -> CSVs + error summary
+  graph_build  preprocess dataset -> cached graphs + statistics yaml
+  preset       print a preset input.yaml
+  checkpoint   inspect a checkpoint / regenerate input yaml
+  get_model    export a deployable (native) checkpoint from any source
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+PRESETS = {
+    "base": """# SevenNet-TPU base preset
+model:
+    chemical_species: 'auto'
+    cutoff: 5.0
+    channel: 32
+    is_parity: False
+    lmax: 2
+    num_convolution_layer: 3
+    weight_nn_hidden_neurons: [64, 64]
+    radial_basis:
+        radial_basis_name: 'bessel'
+        bessel_basis_num: 8
+    cutoff_function:
+        cutoff_function_name: 'XPLOR'
+        cutoff_on: 4.5
+    act_gate: {'e': 'silu', 'o': 'tanh'}
+    act_scalar: {'e': 'silu', 'o': 'tanh'}
+    conv_denominator: 'avg_num_neigh'
+    self_connection_type: 'linear'
+train:
+    random_seed: 1
+    is_train_stress: True
+    epoch: 100
+    loss: 'Huber'
+    loss_param:
+        delta: 0.01
+    optimizer: 'adam'
+    optim_param:
+        lr: 0.01
+    scheduler: 'linearlr'
+    scheduler_param:
+        start_factor: 1.0
+        total_iters: 100
+        end_factor: 0.0001
+    force_loss_weight: 1.0
+    stress_loss_weight: 0.01
+data:
+    batch_size: 8
+    shift: 'elemwise_reference_energies'
+    scale: 'force_rms'
+    load_trainset_path: ['./train.extxyz']
+""",
+    "fine_tune": """# fine-tune from an existing checkpoint
+model: {}
+train:
+    epoch: 50
+    optimizer: 'adam'
+    optim_param:
+        lr: 0.0001
+    continue:
+        checkpoint: './checkpoint_best'
+data:
+    batch_size: 8
+    load_trainset_path: ['./train.extxyz']
+""",
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="sevennet-tpu",
+                                description="TPU-native SevenNet framework")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train", help="train from input.yaml")
+    pt.add_argument("input", help="input.yaml")
+    pt.add_argument("--working_dir", default=".")
+    pt.add_argument("--epochs", type=int, default=None)
+
+    pi = sub.add_parser("inference", help="batch inference")
+    pi.add_argument("checkpoint")
+    pi.add_argument("targets", nargs="+")
+    pi.add_argument("--output", default="sevennet_tpu_infer_result")
+    pi.add_argument("--batch", type=int, default=4)
+
+    pg = sub.add_parser("graph_build", help="preprocess dataset, print statistics")
+    pg.add_argument("source", nargs="+")
+    pg.add_argument("--cutoff", type=float, required=True)
+    pg.add_argument("--out", default="graph_stats.json")
+
+    pp = sub.add_parser("preset", help="print preset yaml")
+    pp.add_argument("name", choices=sorted(PRESETS.keys()))
+
+    pc = sub.add_parser("checkpoint", help="inspect checkpoint")
+    pc.add_argument("path")
+    pc.add_argument("--get_yaml", action="store_true")
+
+    pm = sub.add_parser("get_model", help="convert any checkpoint to native format")
+    pm.add_argument("source")
+    pm.add_argument("--out", default="deployed_model")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "preset":
+        print(PRESETS[args.name])
+        return 0
+
+    if args.cmd == "train":
+        from ..scripts.train import train_from_yaml
+
+        train_from_yaml(args.input, args.working_dir, args.epochs)
+        return 0
+
+    if args.cmd == "inference":
+        from ..scripts.inference import inference
+
+        errors = inference(args.checkpoint, args.targets, args.output, args.batch)
+        print(json.dumps(errors, indent=1))
+        return 0
+
+    if args.cmd == "graph_build":
+        from ..data.dataset import GraphDataset
+
+        ds = GraphDataset.from_extxyz(args.source, args.cutoff)
+        stats = ds.statistics
+        with open(args.out, "w") as f:
+            json.dump(stats, f, indent=1)
+        print(json.dumps({k: v for k, v in stats.items()
+                          if k != "elemwise_reference_energies"}, indent=1))
+        return 0
+
+    if args.cmd == "checkpoint":
+        from ..io.native_checkpoint import load_checkpoint
+
+        spec, params, meta = load_checkpoint(args.path)
+        info = {
+            "format": meta.get("format", "sevennet_tpu.v1"),
+            "cutoff": spec.cutoff,
+            "num_species": spec.num_species,
+            "type_map": dict(spec.type_map),
+            "layers": len(spec.layers),
+            "irreps": [repr(l.irreps_out) for l in spec.layers],
+            "epoch": meta.get("epoch"),
+        }
+        print(json.dumps(info, indent=1))
+        if args.get_yaml:
+            cfg = meta.get("model_config")
+            if cfg:
+                import yaml
+
+                print(yaml.dump({"model": cfg}, default_flow_style=False))
+        return 0
+
+    if args.cmd == "get_model":
+        from ..io.native_checkpoint import load_checkpoint, save_checkpoint
+
+        spec, params, meta = load_checkpoint(args.source)
+        cfg = meta.get("model_config")
+        if not cfg:
+            # reconstruct a minimal config from the spec
+            cfg = {
+                "cutoff": spec.cutoff,
+                "_type_map": dict(spec.type_map),
+                "num_convolution_layer": len(spec.layers),
+                "irreps_manual": [repr(spec.layers[0].irreps_x)]
+                + [repr(l.irreps_out) for l in spec.layers],
+                "lmax": spec.lmax_edge,
+                "is_parity": spec.parity,
+                "radial_basis": {"bessel_basis_num": spec.radial_basis_num},
+                "cutoff_function": (
+                    {"cutoff_function_name": "poly_cut", "poly_cut_p_value": spec.cutoff_fn[1]}
+                    if spec.cutoff_fn[0] == "poly_cut"
+                    else {"cutoff_function_name": "XPLOR", "cutoff_on": spec.cutoff_fn[1]}
+                ),
+                "self_connection_type": spec.layers[0].sc_type,
+                "conv_denominator": [l.denominator_init for l in spec.layers],
+                "shift": list(spec.shift_init),
+                "scale": list(spec.scale_init),
+                "train_shift_scale": spec.train_shift_scale,
+                "train_denominator": spec.train_denominator,
+                "use_bias_in_linear": spec.use_bias,
+            }
+        save_checkpoint(args.out, cfg, params)
+        print(f"saved native model to {args.out}")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

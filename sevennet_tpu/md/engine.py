@@ -152,23 +152,31 @@ class MDEngine:
         n_steps: int,
         dt: float = 1.0,
         integrator: str = "nve",
+        chunk: int = 10,
         **kw,
     ):
-        """Run ``n_steps`` as one jitted scan; returns (state, (pe, ke))
-        trajectories. Checks the overflow flag on exit."""
-        key = (integrator, dt, n_steps, tuple(sorted(kw.items())))
-        if key not in self._run_cache:
-            step = self._step_fn(integrator, dt, **kw)
+        """Run ``n_steps`` as host-looped jitted scans of fixed ``chunk``
+        length (one compilation serves any total step count); returns
+        (state, (pe, ke)) trajectories. Checks the overflow flag on exit."""
+        traj_pe, traj_ke = [], []
+        for length in [chunk] * (n_steps // chunk) + (
+            [n_steps % chunk] if n_steps % chunk else []
+        ):
+            key = (integrator, dt, length, tuple(sorted(kw.items())))
+            if key not in self._run_cache:
+                step = self._step_fn(integrator, dt, **kw)
 
-            @jax.jit
-            def scan_run(state):
-                return jax.lax.scan(step, state, None, length=n_steps)
+                def scan_run(state, _length=length):
+                    return jax.lax.scan(step, state, None, length=_length)
 
-            self._run_cache[key] = scan_run
-        state, traj = self._run_cache[key](state)
+                # donation is not supported by the axon TPU tunnel backend
+                self._run_cache[key] = jax.jit(scan_run)
+            state, (pe, ke) = self._run_cache[key](state)
+            traj_pe.append(pe)
+            traj_ke.append(ke)
         if bool(state.nl_overflow):
             raise RuntimeError(
                 "neighbor-list capacity overflow during MD; rebuild the engine "
                 "with a larger CellListSpec (capacity_factor/neighbor_capacity)"
             )
-        return state, traj
+        return state, (jnp.concatenate(traj_pe), jnp.concatenate(traj_ke))

@@ -119,6 +119,12 @@ class ModelSpec:
     # multi-fidelity (appended 0e one-hot into selected linears)
     num_modalities: int = 0
     modal_map: Tuple[Tuple[str, int], ...] = ()
+    # memory policy: rematerialize each interaction layer in backward, and
+    # optionally stream edges through the convolution in fixed-size chunks
+    # (bounds the (E, dim_mid) message buffer — the XLA analogue of the
+    # fused-TP accelerators the torch reference plugs in, cue/flash/oeq)
+    remat_layers: bool = True
+    edge_chunk: int = 0  # 0 = no chunking
 
     @property
     def irreps_out_per_layer(self):
@@ -308,6 +314,8 @@ def build_model_spec(config: Dict[str, Any]) -> ModelSpec:
         train_denominator=bool(cfg["train_denominator"]),
         train_shift_scale=bool(cfg["train_shift_scale"]),
         use_bias=use_bias,
+        remat_layers=bool(cfg.get("_remat", True)),
+        edge_chunk=int(cfg.get("_edge_chunk", 0)),
     )
 
 

@@ -67,6 +67,51 @@ def model_init(key, spec: ModelSpec, dtype=jnp.float32) -> Dict[str, Any]:
     return params
 
 
+def _convolve(spec, layer, conv_params, x, edge_emb, sh, edge_src, edge_dst, n_atoms):
+    """Radial-MLP-weighted uvu TP + scatter into nodes.
+
+    With ``spec.edge_chunk`` set, edges stream through in fixed-size chunks
+    (lax.scan) so the per-edge message buffer is bounded — the HBM-frugal
+    path for large systems on a 16 GB chip.
+    """
+
+    def block(emb_c, sh_c, src_c, dst_c):
+        w = scalar_mlp_apply(layer.radial_mlp, conv_params["weight_nn"], emb_c)
+        msg = conv_tp_apply(layer.conv, x[src_c], sh_c, w)
+        return jax.ops.segment_sum(msg, dst_c, num_segments=n_atoms)
+
+    E = edge_emb.shape[0]
+    chunk = spec.edge_chunk
+    if chunk <= 0 or E <= chunk:
+        return block(edge_emb, sh, edge_src, edge_dst)
+
+    if E % chunk != 0:
+        # zero-pad: the radial MLP has no biases, so zero edge embeddings
+        # produce exactly zero messages scattered into atom 0
+        pad = chunk - E % chunk
+        edge_emb = jnp.concatenate(
+            [edge_emb, jnp.zeros((pad, edge_emb.shape[1]), edge_emb.dtype)]
+        )
+        sh = jnp.concatenate([sh, jnp.zeros((pad, sh.shape[1]), sh.dtype)])
+        edge_src = jnp.concatenate([edge_src, jnp.zeros(pad, edge_src.dtype)])
+        edge_dst = jnp.concatenate([edge_dst, jnp.zeros(pad, edge_dst.dtype)])
+        E = E + pad
+
+    n_chunks = E // chunk
+    emb_s = edge_emb.reshape(n_chunks, chunk, -1)
+    sh_s = sh.reshape(n_chunks, chunk, -1)
+    src_s = edge_src.reshape(n_chunks, chunk)
+    dst_s = edge_dst.reshape(n_chunks, chunk)
+
+    def body(acc, inp):
+        emb_c, sh_c, src_c, dst_c = inp
+        return acc + block(emb_c, sh_c, src_c, dst_c), None
+
+    init = jnp.zeros((n_atoms, layer.conv.irreps_mid.dim), dtype=x.dtype)
+    acc, _ = jax.lax.scan(body, init, (emb_s, sh_s, src_s, dst_s))
+    return acc
+
+
 def _cutoff_envelope(spec: ModelSpec, r):
     kind, arg = spec.cutoff_fn
     if kind == "poly_cut":
@@ -104,27 +149,42 @@ def model_energy(
     n_atoms = graph.n_atoms_cap
     for layer in spec.layers:
         t = layer.t
-        if layer.sc_type == "nequip":
-            sc = fctp_apply(
-                layer.sc_fctp, params[f"{t}_self_connection_intro"], x, onehot
+        layer_params = {
+            k: params[k]
+            for k in (
+                f"{t}_self_connection_intro",
+                f"{t}_self_interaction_1",
+                f"{t}_convolution",
+                f"{t}_self_interaction_2",
             )
-        elif layer.sc_type == "linear":
-            sc = linear_apply(
-                layer.sc_linear, params[f"{t}_self_connection_intro"], x
+            if k in params
+        }
+
+        def layer_fn(lp, x, onehot, edge_emb, sh, layer=layer, t=t):
+            if layer.sc_type == "nequip":
+                sc = fctp_apply(
+                    layer.sc_fctp, lp[f"{t}_self_connection_intro"], x, onehot
+                )
+            elif layer.sc_type == "linear":
+                sc = linear_apply(
+                    layer.sc_linear, lp[f"{t}_self_connection_intro"], x
+                )
+            else:
+                sc = None
+            x = linear_apply(layer.si1, lp[f"{t}_self_interaction_1"], x)
+            x = _convolve(
+                spec, layer, lp[f"{t}_convolution"], x, edge_emb, sh,
+                graph.edge_src, graph.edge_dst, n_atoms,
             )
-        else:
-            sc = None
-        x = linear_apply(layer.si1, params[f"{t}_self_interaction_1"], x)
-        w = scalar_mlp_apply(
-            layer.radial_mlp, params[f"{t}_convolution"]["weight_nn"], edge_emb
-        )
-        msg = conv_tp_apply(layer.conv, x[graph.edge_src], sh, w)
-        x = jax.ops.segment_sum(msg, graph.edge_dst, num_segments=n_atoms)
-        x = x / params[f"{t}_convolution"]["denominator"][0]
-        x = linear_apply(layer.si2, params[f"{t}_self_interaction_2"], x)
-        if sc is not None:
-            x = x + sc
-        x = gate_apply(layer.gate, x)
+            x = x / lp[f"{t}_convolution"]["denominator"][0]
+            x = linear_apply(layer.si2, lp[f"{t}_self_interaction_2"], x)
+            if sc is not None:
+                x = x + sc
+            return gate_apply(layer.gate, x)
+
+        if spec.remat_layers:
+            layer_fn = jax.checkpoint(layer_fn)
+        x = layer_fn(layer_params, x, onehot, edge_emb, sh)
 
     if spec.readout_as_fcn:
         e_scaled = scalar_mlp_apply(spec.readout_fcn, params["readout_FCN"], x)

@@ -1,0 +1,173 @@
+"""Training orchestration: config -> datasets -> model -> epoch loop.
+
+The flow of the reference ``sevenn/scripts/train.py:train_v2`` +
+``processing_epoch.py``: build datasets (with statistics feeding
+shift/scale/conv_denominator), build the model, run epochs with periodic
+and best-metric checkpoints and an ``lc.csv`` learning curve.
+Continue/restart follows ``processing_continue.py:16-92``: model weights,
+optimizer and epoch come from the checkpoint; statistics (shift/scale/
+denominator) are NOT recomputed.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import read_config_yaml
+from ..data.dataset import GraphDataset
+from ..logger import LearningCurveCSV, Logger
+from ..model.build import build_model_spec, symbols_to_type_map
+from ..model.model import model_init
+from ..train.loss import LossConfig
+from ..train.trainer import Trainer, TrainerConfig
+
+__all__ = ["train_from_yaml", "train_run"]
+
+
+def _resolve_statistics(model_cfg: Dict, data_cfg: Dict, trainset: GraphDataset, log: Logger):
+    """Replace string placeholders (shift/scale/conv_denominator) with
+    dataset statistics, mirroring ``graph_dataset.from_config`` (:682-692)."""
+    for key, holder in (("shift", model_cfg), ("scale", model_cfg)):
+        v = data_cfg.get(key, holder.get(key))
+        if isinstance(v, str):
+            v = getattr(trainset, v)
+            log.format_k_v(f"{key} (from statistics)", v if np.isscalar(v) else "per-element list")
+        holder[key] = v
+    cd = model_cfg.get("conv_denominator")
+    if isinstance(cd, str):
+        model_cfg["conv_denominator"] = getattr(trainset, cd)
+        log.format_k_v("conv_denominator (from statistics)", model_cfg["conv_denominator"])
+
+
+def train_from_yaml(yaml_path: str, working_dir: str = ".", max_epochs: Optional[int] = None):
+    model_cfg, train_cfg, data_cfg = read_config_yaml(yaml_path)
+    return train_run(model_cfg, train_cfg, data_cfg, working_dir, max_epochs)
+
+
+def train_run(
+    model_cfg: Dict,
+    train_cfg: Dict,
+    data_cfg: Dict,
+    working_dir: str = ".",
+    max_epochs: Optional[int] = None,
+):
+    os.makedirs(working_dir, exist_ok=True)
+    log = Logger(os.path.join(working_dir, "log.sevennet_tpu"))
+    log.writeline("SevenNet-TPU training")
+    log.timer_start("total")
+
+    # datasets
+    cutoff = float(model_cfg["cutoff"])
+    train_paths = data_cfg["load_trainset_path"]
+    assert train_paths, "data.load_trainset_path must be given"
+    trainset = GraphDataset.from_extxyz(train_paths, cutoff)
+    validset = None
+    if data_cfg.get("load_validset_path"):
+        validset = GraphDataset.from_extxyz(data_cfg["load_validset_path"], cutoff)
+    elif float(data_cfg.get("ratio", 0.0)) > 0:
+        trainset, validset = trainset.split(float(data_cfg["ratio"]))
+    log.format_k_v("# train structures", len(trainset))
+    log.format_k_v("# valid structures", len(validset) if validset else 0)
+
+    # species
+    if model_cfg.get("chemical_species", "auto") == "auto":
+        species = sorted(
+            set(trainset.species) | set(validset.species if validset else [])
+        )
+        model_cfg["chemical_species"] = species
+        log.format_k_v("chemical_species (auto)", species)
+
+    _resolve_statistics(model_cfg, data_cfg, trainset, log)
+
+    # model
+    spec = build_model_spec(model_cfg)
+    z2t = spec.z_to_type
+    trainset.build(z2t)
+    if validset:
+        validset.build(z2t)
+
+    # continue?
+    import jax
+
+    cont = train_cfg.get("continue", {}) or {}
+    start_epoch = 0
+    if cont.get("checkpoint"):
+        from ..io.native_checkpoint import load_checkpoint
+
+        spec_cp, params, meta = load_checkpoint(cont["checkpoint"])
+        spec = spec_cp
+        if not cont.get("reset_epoch"):
+            start_epoch = int(meta.get("epoch", 0))
+        log.format_k_v("continue from", cont["checkpoint"])
+    else:
+        params = model_init(jax.random.PRNGKey(int(train_cfg.get("random_seed", 1))), spec)
+
+    # stress loss is computed in kbar inside compute_losses (as the
+    # reference does at loss.py:185), so the weight passes through unchanged
+    loss_cfg = LossConfig(
+        criterion=str(train_cfg.get("loss", "mse")).lower(),
+        huber_delta=float(train_cfg.get("loss_param", {}).get("delta", 0.01)),
+        force_weight=float(train_cfg.get("force_loss_weight", 0.1)),
+        stress_weight=float(train_cfg.get("stress_loss_weight", 1e-6)),
+        train_stress=bool(train_cfg.get("is_train_stress", True)),
+    )
+    tcfg = TrainerConfig(
+        loss=loss_cfg,
+        optimizer=str(train_cfg.get("optimizer", "adam")),
+        lr=float(train_cfg.get("optim_param", {}).get("lr", 0.01)),
+        optim_param=dict(train_cfg.get("optim_param", {})),
+        scheduler=str(train_cfg.get("scheduler", "constant")),
+        scheduler_param=dict(train_cfg.get("scheduler_param", {})),
+    )
+    trainer = Trainer(spec, params, tcfg)
+
+    lc = LearningCurveCSV(os.path.join(working_dir, "lc.csv"))
+    n_epochs = int(max_epochs or train_cfg.get("epoch", 10))
+    batch_size = int(data_cfg.get("batch_size", 6))
+    per_epoch = int(train_cfg.get("per_epoch", 10))
+    best = np.inf
+
+    for epoch in range(start_epoch + 1, start_epoch + n_epochs + 1):
+        log.timer_start("epoch")
+        tr = trainer.run_epoch(
+            trainset.batches(batch_size, shuffle=bool(train_cfg.get("train_shuffle", True)), seed=epoch),
+            train=True,
+        )
+        rows = {"train": tr}
+        if validset:
+            va = trainer.run_epoch(validset.batches(batch_size), train=False)
+            rows["valid"] = va
+        lc.append(epoch, rows)
+        key_metrics = rows.get("valid", rows["train"])
+        log.writeline(
+            f"epoch {epoch}: "
+            + " ".join(f"{k}={v:.4g}" for k, v in key_metrics.items() if "loss" in k or "rmse" in k)
+        )
+        log.timer_end("epoch", f"epoch {epoch} time")
+
+        crit = key_metrics.get("loss_total", np.inf)
+        from ..io.native_checkpoint import save_checkpoint
+
+        if crit < best:
+            best = crit
+            save_checkpoint(
+                os.path.join(working_dir, "checkpoint_best"),
+                model_cfg, trainer.state.params, trainer.state.opt_state, epoch,
+            )
+        if epoch % per_epoch == 0:
+            save_checkpoint(
+                os.path.join(working_dir, f"checkpoint_{epoch}"),
+                model_cfg, trainer.state.params, trainer.state.opt_state, epoch,
+            )
+
+    save_checkpoint(
+        os.path.join(working_dir, "checkpoint_last"),
+        model_cfg, trainer.state.params, trainer.state.opt_state,
+        start_epoch + n_epochs,
+    )
+    log.timer_end("total", "total training time")
+    log.close()
+    return trainer

@@ -88,8 +88,15 @@ def build_optimizer(
         raise ValueError(f"unknown optimizer {name}")
 
     if spec is not None and params is not None:
+        # NB: optax.masked would pass raw gradients through for frozen leaves
+        # (gradient ascent!) — multi_transform + set_to_zero actually freezes.
         mask = trainable_mask(spec, params)
-        opt = optax.masked(opt, mask)
+        import jax
+
+        labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, labels
+        )
     return opt
 
 

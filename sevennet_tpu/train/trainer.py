@@ -110,7 +110,7 @@ class Trainer:
             return new_state, (losses, acc)
 
         if self.mesh is None:
-            return jax.jit(single_device_step, donate_argnums=(0,))
+            return jax.jit(single_device_step)
 
         mesh = self.mesh
         from jax.experimental.shard_map import shard_map
@@ -144,7 +144,7 @@ class Trainer:
                 check_rep=False,
             )(state, graphs)
 
-        return jax.jit(sharded_step, donate_argnums=(0,))
+        return jax.jit(sharded_step)
 
     def _make_eval_step(self) -> Callable:
         def eval_step(params, graph: GraphBatch):

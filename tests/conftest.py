@@ -55,3 +55,20 @@ def build_graph(spec, pos, Z, cell, pbc=True, n_atoms_cap=None, n_edges_cap=None
     dst, src, shifts = neighbor_list_numpy(pos, spec.cutoff, cell, pbc)
     g = graph_from_arrays(pos, species, src, dst, shifts, cell)
     return batch_graphs([g], n_atoms_cap=n_atoms_cap, n_edges_cap=n_edges_cap)
+
+
+_JIT_COMPUTE_CACHE = {}
+
+
+def compute(spec, params, graph):
+    """Jitted model_compute keyed by spec (remat in eager mode is pathologically
+    slow; production always runs under jit)."""
+    import jax
+
+    from sevennet_tpu.model.model import model_compute
+
+    if spec not in _JIT_COMPUTE_CACHE:
+        _JIT_COMPUTE_CACHE[spec] = jax.jit(
+            lambda p, g: model_compute(spec, p, g)
+        )
+    return _JIT_COMPUTE_CACHE[spec](params, graph)

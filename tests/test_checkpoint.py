@@ -15,9 +15,9 @@ import jax
 import numpy as np
 import pytest
 
-from sevennet_tpu.model.model import model_compute
 
-from .conftest import build_graph
+
+from .conftest import build_graph, compute
 
 
 def test_load_shapes(small_spec_params):
@@ -37,7 +37,7 @@ def test_energy_forces_consistency(small_spec_params, hfo2_structure):
     spec, params = small_spec_params
     pos, Z, cell = hfo2_structure
     gb = build_graph(spec, pos, Z, cell, n_atoms_cap=16, n_edges_cap=300)
-    out = model_compute(spec, params, gb)
+    out = compute(spec, params, gb)
     e = float(out["energy"][0])
     f = np.asarray(out["forces"])[: len(pos)]
     assert np.isfinite(e)
@@ -63,7 +63,7 @@ def test_golden_regression(small_spec_params, hfo2_structure):
     spec, params = small_spec_params
     pos, Z, cell = hfo2_structure
     gb = build_graph(spec, pos, Z, cell, n_atoms_cap=16, n_edges_cap=300)
-    out = model_compute(spec, params, gb)
+    out = compute(spec, params, gb)
     e = float(out["energy"][0])
     assert abs(e - 0.86126786) < 2e-5, e
     f = np.asarray(out["forces"])

@@ -5,9 +5,9 @@ import pytest
 
 from sevennet_tpu.data import batch_graphs, graph_from_arrays, neighbor_list_numpy
 from sevennet_tpu.model import build_model_spec
-from sevennet_tpu.model.model import model_compute, model_init
+from sevennet_tpu.model.model import model_init
 
-from .conftest import build_graph
+from .conftest import build_graph, compute
 
 SMALL_CONFIG = {
     "cutoff": 4.0,
@@ -42,7 +42,7 @@ def test_forward_shapes(small_model):
     spec, params = small_model
     pos, Z, cell = _random_structure()
     gb = build_graph(spec, pos, Z, cell)
-    out = model_compute(spec, params, gb)
+    out = compute(spec, params, gb)
     assert out["energy"].shape == (1,)
     assert out["forces"].shape == (gb.n_atoms_cap, 3)
     assert out["stress"].shape == (1, 6)
@@ -55,8 +55,8 @@ def test_padding_does_not_change_results(small_model):
     pos, Z, cell = _random_structure()
     g1 = build_graph(spec, pos, Z, cell)
     g2 = build_graph(spec, pos, Z, cell, n_atoms_cap=32, n_edges_cap=g1.n_edges_cap + 100)
-    o1 = model_compute(spec, params, g1)
-    o2 = model_compute(spec, params, g2)
+    o1 = compute(spec, params, g1)
+    o2 = compute(spec, params, g2)
     assert abs(float(o1["energy"][0]) - float(o2["energy"][0])) < 1e-5
     n = len(pos)
     assert np.abs(np.asarray(o1["forces"])[:n] - np.asarray(o2["forces"])[:n]).max() < 1e-5
@@ -73,9 +73,9 @@ def test_batching_consistency(small_model):
         dst, src, S = neighbor_list_numpy(pos, spec.cutoff, cell, True)
         g = graph_from_arrays(pos, species, src, dst, S, cell)
         graphs.append(g)
-        singles.append(model_compute(spec, params, batch_graphs([g])))
+        singles.append(compute(spec, params, batch_graphs([g])))
     big = batch_graphs(graphs, n_atoms_cap=32, n_edges_cap=2048, n_graphs_cap=3)
-    out = model_compute(spec, params, big)
+    out = compute(spec, params, big)
     n1 = 9
     for i, single in enumerate(singles):
         assert abs(float(out["energy"][i]) - float(single["energy"][0])) < 1e-4
@@ -93,8 +93,8 @@ def test_rotation_invariance(small_model):
     R = Rotation.from_rotvec([0.4, -0.2, 0.9]).as_matrix()
     g1 = build_graph(spec, pos, Z, cell)
     g2 = build_graph(spec, pos @ R.T, Z, cell @ R.T)
-    o1 = model_compute(spec, params, g1)
-    o2 = model_compute(spec, params, g2)
+    o1 = compute(spec, params, g1)
+    o2 = compute(spec, params, g2)
     assert abs(float(o1["energy"][0]) - float(o2["energy"][0])) < 1e-4
     # forces rotate covariantly
     f1 = np.asarray(o1["forces"])[: len(pos)]
@@ -105,16 +105,16 @@ def test_rotation_invariance(small_model):
 def test_translation_and_permutation_invariance(small_model):
     spec, params = small_model
     pos, Z, cell = _random_structure(seed=5)
-    e0 = float(model_compute(spec, params, build_graph(spec, pos, Z, cell))["energy"][0])
+    e0 = float(compute(spec, params, build_graph(spec, pos, Z, cell))["energy"][0])
     # translation (with PBC wrap handled by NL)
     e_t = float(
-        model_compute(spec, params, build_graph(spec, pos + 1.234, Z, cell))["energy"][0]
+        compute(spec, params, build_graph(spec, pos + 1.234, Z, cell))["energy"][0]
     )
     assert abs(e0 - e_t) < 1e-4
     # permutation
     perm = np.random.default_rng(0).permutation(len(pos))
     e_p = float(
-        model_compute(spec, params, build_graph(spec, pos[perm], Z[perm], cell))["energy"][0]
+        compute(spec, params, build_graph(spec, pos[perm], Z[perm], cell))["energy"][0]
     )
     assert abs(e0 - e_p) < 1e-4
 
@@ -126,13 +126,13 @@ def test_forces_match_position_gradient(small_model):
     spec, params = small_model
     pos, Z, cell = _random_structure(seed=11)
     gb = build_graph(spec, pos, Z, cell)
-    out = model_compute(spec, params, gb)
+    out = compute(spec, params, gb)
 
     def etot(p):
         g2 = gb.replace(positions=p)
         return jnp.sum(model_energy(spec, params, g2, g2.edge_vectors())["energy"])
 
-    f_pos = -np.asarray(jax.grad(etot)(gb.positions))
+    f_pos = -np.asarray(jax.jit(jax.grad(etot))(gb.positions))
     assert np.abs(np.asarray(out["forces"]) - f_pos).max() < 1e-5
 
 
@@ -140,14 +140,14 @@ def test_stress_finite_difference(small_model):
     """Virial stress == dE/d(strain) / V by finite differences."""
     spec, params = small_model
     pos, Z, cell = _random_structure(seed=13, n=8, box=5.5)
-    out = model_compute(spec, params, build_graph(spec, pos, Z, cell))
+    out = compute(spec, params, build_graph(spec, pos, Z, cell))
     stress = np.asarray(out["stress"])[0]  # (xx,yy,zz,xy,yz,zx), -virial/V
 
     def energy_strained(eps_mat):
         strained_cell = cell @ (np.eye(3) + eps_mat).T
         strained_pos = pos @ (np.eye(3) + eps_mat).T
         gb = build_graph(spec, strained_pos, Z, strained_cell)
-        return float(model_compute(spec, params, gb)["energy"][0])
+        return float(compute(spec, params, gb)["energy"][0])
 
     V = abs(np.linalg.det(cell))
     h = 1e-3
@@ -165,12 +165,12 @@ def test_second_derivatives_exist(small_model):
     gb = build_graph(spec, pos, Z, cell)
 
     def loss(p):
-        out = model_compute(spec, p, gb)
+        out = compute(spec, p, gb)
         return jnp.sum(out["forces"] ** 2) + out["energy"][0] ** 2
 
     from jax.flatten_util import ravel_pytree
 
-    grads = jax.grad(loss)(params)
+    grads = jax.jit(jax.grad(loss))(params)
     flat, _ = ravel_pytree(grads)
     assert np.isfinite(np.asarray(flat)).all()
     assert float(jnp.abs(flat).max()) > 0
@@ -189,7 +189,7 @@ def test_isolated_atom(small_model):
         None,
     )
     gb = batch_graphs([g], n_atoms_cap=4, n_edges_cap=8)
-    out = model_compute(spec, params, gb)
+    out = compute(spec, params, gb)
     assert np.isfinite(float(out["energy"][0]))
     assert np.isfinite(np.asarray(out["forces"])).all()
 
@@ -201,5 +201,5 @@ def test_linear_self_connection_and_no_parity():
     spec = build_model_spec(cfg)
     params = model_init(jax.random.PRNGKey(1), spec)
     pos, Z, cell = _random_structure(seed=19, n=6)
-    out = model_compute(spec, params, build_graph(spec, pos, Z, cell))
+    out = compute(spec, params, build_graph(spec, pos, Z, cell))
     assert np.isfinite(float(out["energy"][0]))

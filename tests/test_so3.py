@@ -96,9 +96,9 @@ def test_sh_w3j_consistency():
         proj = np.einsum("abc,na,nb->nc", w, blk(l1), blk(l2))
         # proportional per-row with a CONSTANT ratio across directions
         ratio = (proj * blk(l3)).sum(1) / (blk(l3) ** 2).sum(1)
-        assert ratio.std() < 1e-8 * max(1.0, abs(ratio.mean()))
+        assert ratio.std() < 1e-6 * max(1.0, abs(ratio.mean()))  # f32 SH values
         resid = proj - ratio[:, None] * blk(l3)
-        assert np.abs(resid).max() < 1e-8
+        assert np.abs(resid).max() < 1e-6
 
 
 def test_sh_normalize_flag():

@@ -1,0 +1,144 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sevennet_tpu.atoms import AtomsLite
+from sevennet_tpu.data.extxyz import write_extxyz
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    """Labels generated from a pair-potential-ish form so training has signal."""
+    rng = np.random.default_rng(1)
+    frames = []
+    for i in range(8):
+        n = 6
+        cell = np.eye(3) * 6.0
+        pos = rng.uniform(0, 6, (n, 3))
+        Z = rng.choice([8, 1], n)
+        e = float(-1.0 * n + 0.1 * rng.normal())
+        frames.append(
+            AtomsLite(positions=pos, numbers=Z, cell=cell, pbc=True,
+                      energy=e, forces=rng.normal(size=(n, 3)) * 0.1,
+                      stress=rng.normal(size=6) * 0.001)
+        )
+    path = tmp_path_factory.mktemp("data") / "train.extxyz"
+    write_extxyz(str(path), frames)
+    return str(path)
+
+
+def test_train_loop_decreases_loss(tiny_dataset, tmp_path):
+    from sevennet_tpu.scripts.train import train_run
+
+    model_cfg = {
+        "cutoff": 4.0,
+        "channel": 4,
+        "lmax": 1,
+        "is_parity": False,
+        "num_convolution_layer": 2,
+        "chemical_species": "auto",
+        "self_connection_type": "linear",
+        "conv_denominator": "avg_num_neigh",
+        "shift": "per_atom_energy_mean",
+        "scale": "force_rms",
+    }
+    train_cfg = {
+        "epoch": 4,
+        "loss": "mse",
+        "optimizer": "adam",
+        "optim_param": {"lr": 0.003},
+        "force_loss_weight": 0.1,
+        "stress_loss_weight": 1e-4,
+        "per_epoch": 2,
+        "random_seed": 1,
+    }
+    data_cfg = {"batch_size": 4, "load_trainset_path": [tiny_dataset], "ratio": 0.25}
+    wd = str(tmp_path / "wd")
+    trainer = train_run(model_cfg, train_cfg, data_cfg, working_dir=wd)
+
+    lc = open(os.path.join(wd, "lc.csv")).read().strip().splitlines()
+    assert len(lc) == 5  # header + 4 epochs
+    header = lc[0].split(",")
+    i_loss = header.index("train_loss_total")
+    first = float(lc[1].split(",")[i_loss])
+    last = float(lc[-1].split(",")[i_loss])
+    assert last < first, (first, last)
+    assert os.path.isdir(os.path.join(wd, "checkpoint_best"))
+    assert os.path.isdir(os.path.join(wd, "checkpoint_last"))
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from sevennet_tpu.io.native_checkpoint import load_checkpoint, save_checkpoint
+    from sevennet_tpu.model import build_model_spec
+    from sevennet_tpu.model.model import model_init
+
+    from .conftest import build_graph, compute
+
+    cfg = {"cutoff": 4.0, "channel": 4, "lmax": 2, "is_parity": True,
+           "num_convolution_layer": 2, "chemical_species": ["Hf", "O"],
+           "conv_denominator": 8.0}
+    spec = build_model_spec(cfg)
+    params = model_init(jax.random.PRNGKey(0), spec)
+    path = str(tmp_path / "cp")
+    save_checkpoint(path, cfg, params, epoch=7)
+
+    spec2, params2, meta = load_checkpoint(path)
+    assert meta["epoch"] == 7
+    assert spec2 == spec
+
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0, 6, (8, 3))
+    Z = rng.choice([72, 8], 8)
+    gb = build_graph(spec, pos, Z, np.eye(3) * 6.0)
+    e1 = float(compute(spec, params, gb)["energy"][0])
+    e2 = float(compute(spec2, params2, gb)["energy"][0])
+    assert abs(e1 - e2) < 1e-6
+
+
+def test_cli_preset_and_graph_build(tiny_dataset, tmp_path, capsys):
+    from sevennet_tpu.cli.main import main
+
+    assert main(["preset", "base"]) == 0
+    out = capsys.readouterr().out
+    assert "chemical_species" in out and "cutoff" in out
+
+    stats_file = str(tmp_path / "stats.json")
+    assert main(["graph_build", tiny_dataset, "--cutoff", "4.0", "--out", stats_file]) == 0
+    stats = json.load(open(stats_file))
+    assert "avg_num_neigh" in stats and stats["avg_num_neigh"] > 0
+
+
+def test_optimizer_masks_frozen_params():
+    import jax
+    import jax.numpy as jnp
+
+    from sevennet_tpu.model import build_model_spec
+    from sevennet_tpu.model.model import model_init
+    from sevennet_tpu.train.optim import trainable_mask
+
+    cfg = {"cutoff": 4.0, "channel": 4, "lmax": 1, "num_convolution_layer": 2,
+           "chemical_species": ["H", "O"], "conv_denominator": 5.0,
+           "train_denominator": False, "train_shift_scale": False}
+    spec = build_model_spec(cfg)
+    params = model_init(jax.random.PRNGKey(0), spec)
+    mask = trainable_mask(spec, params)
+    assert mask["rescale_atomic_energy"]["shift"] is False
+    assert mask["0_convolution"]["denominator"] is False
+    assert mask["0_convolution"]["weight_nn"]["w"][0] is True
+
+
+def test_loss_config_huber():
+    import jax.numpy as jnp
+
+    from sevennet_tpu.train.loss import LossConfig, _criterion
+
+    cfg = LossConfig(criterion="huber", huber_delta=0.5)
+    pred = jnp.array([0.0, 1.0])
+    ref = jnp.array([0.1, 0.0])
+    out = np.asarray(_criterion(cfg, pred, ref))
+    assert abs(out[0] - 0.5 * 0.01) < 1e-7  # quadratic region
+    assert abs(out[1] - 0.5 * (1.0 - 0.25)) < 1e-7  # linear region
