@@ -91,6 +91,13 @@ def graph_from_arrays(
     """Single unpadded graph (host-side numpy). Species are type indices."""
     n = len(positions)
     e = len(edge_src)
+    # graph contract: edges sorted by receiver (edge_dst) — enables
+    # indices_are_sorted fast paths in the scatter-sum on TPU
+    if e > 1:
+        order = np.argsort(np.asarray(edge_dst), kind="stable")
+        edge_src = np.asarray(edge_src)[order]
+        edge_dst = np.asarray(edge_dst)[order]
+        edge_shift = np.asarray(edge_shift)[order]
     if cell is None:
         cell = np.zeros((3, 3))
         volume = 0.0
@@ -174,7 +181,8 @@ def batch_graphs(
     batch = _pad_to(cat(bat).astype(np.int32), n_cap, fill=g_cap - 1)
     forces = _pad_to(cat(f).astype(dtype), n_cap)
     edge_src = _pad_to(cat(esrc).astype(np.int32), e_cap)
-    edge_dst = _pad_to(cat(edst).astype(np.int32), e_cap)
+    # pad receivers with the LAST atom slot to keep edge_dst sorted
+    edge_dst = _pad_to(cat(edst).astype(np.int32), e_cap, fill=n_cap - 1)
     edge_shift = _pad_to(cat(eshift).astype(dtype), e_cap)
     edge_mask = _pad_to(np.ones((e_tot,), bool), e_cap, fill=False)
     cell = _pad_to(np.stack(cells).astype(dtype), g_cap)

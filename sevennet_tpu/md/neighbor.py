@@ -173,8 +173,8 @@ def rebuild_neighbors(spec: CellListSpec, positions, cell, atom_mask):
     edge_dst = jnp.repeat(jnp.arange(n, dtype=jnp.int32), K)
     edge_shift = shift_slots.reshape(-1, 3)
     edge_mask = valid_slots.reshape(-1)
-    # padded/invalid edges: point to self (0) so gathers are safe
+    # invalid slots keep their row-owner dst (edge_dst stays sorted); their
+    # messages are exactly zero via the edge mask. Clamp src for safe gathers.
     edge_src = jnp.where(edge_mask, edge_src, 0)
-    edge_dst = jnp.where(edge_mask, edge_dst, 0)
     overflow = cell_overflow | neighbor_overflow
     return edge_src, edge_dst, edge_shift, edge_mask, overflow, pos_w

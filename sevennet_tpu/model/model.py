@@ -75,15 +75,17 @@ def _convolve(spec, layer, conv_params, x, edge_emb, sh, edge_src, edge_dst, n_a
     path for large systems on a 16 GB chip.
     """
 
-    def block(emb_c, sh_c, src_c, dst_c):
+    def block(emb_c, sh_c, src_c, dst_c, sorted_dst):
         w = scalar_mlp_apply(layer.radial_mlp, conv_params["weight_nn"], emb_c)
         msg = conv_tp_apply(layer.conv, x[src_c], sh_c, w)
-        return jax.ops.segment_sum(msg, dst_c, num_segments=n_atoms)
+        return jax.ops.segment_sum(
+            msg, dst_c, num_segments=n_atoms, indices_are_sorted=sorted_dst
+        )
 
     E = edge_emb.shape[0]
     chunk = spec.edge_chunk
     if chunk <= 0 or E <= chunk:
-        return block(edge_emb, sh, edge_src, edge_dst)
+        return block(edge_emb, sh, edge_src, edge_dst, True)
 
     if E % chunk != 0:
         # zero-pad: the radial MLP has no biases, so zero edge embeddings
@@ -94,7 +96,9 @@ def _convolve(spec, layer, conv_params, x, edge_emb, sh, edge_src, edge_dst, n_a
         )
         sh = jnp.concatenate([sh, jnp.zeros((pad, sh.shape[1]), sh.dtype)])
         edge_src = jnp.concatenate([edge_src, jnp.zeros(pad, edge_src.dtype)])
-        edge_dst = jnp.concatenate([edge_dst, jnp.zeros(pad, edge_dst.dtype)])
+        edge_dst = jnp.concatenate(
+            [edge_dst, jnp.full(pad, n_atoms - 1, edge_dst.dtype)]
+        )
         E = E + pad
 
     n_chunks = E // chunk
@@ -105,7 +109,7 @@ def _convolve(spec, layer, conv_params, x, edge_emb, sh, edge_src, edge_dst, n_a
 
     def body(acc, inp):
         emb_c, sh_c, src_c, dst_c = inp
-        return acc + block(emb_c, sh_c, src_c, dst_c), None
+        return acc + block(emb_c, sh_c, src_c, dst_c, True), None
 
     init = jnp.zeros((n_atoms, layer.conv.irreps_mid.dim), dtype=x.dtype)
     acc, _ = jax.lax.scan(body, init, (emb_s, sh_s, src_s, dst_s))

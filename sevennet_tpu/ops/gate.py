@@ -87,12 +87,13 @@ def gate_apply(spec: GateSpec, x):
         act = spec._act(spec.act_gate, mi.ir.p)
         g_act.append(act(gates[..., off : off + mi.dim]))
         off += mi.dim
-    # multiply gated blocks
+    # multiply gated blocks (ir_mul layout: (2l+1, mul), gate broadcasts
+    # over the spherical dimension)
     off = 0
     for mi, g in zip(spec.irreps_gated, g_act):
         blk = gated[..., off : off + mi.dim]
         lead = blk.shape[:-1]
-        blk = blk.reshape(*lead, mi.mul, mi.ir.dim) * g[..., None]
+        blk = blk.reshape(*lead, mi.ir.dim, mi.mul) * g[..., None, :]
         pieces.append(blk.reshape(*lead, mi.dim))
         off += mi.dim
     return jnp.concatenate(pieces, axis=-1)

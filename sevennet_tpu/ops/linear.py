@@ -81,15 +81,23 @@ def linear_init(key, spec: LinearSpec, dtype=jnp.float32):
 
 
 def linear_apply(spec: LinearSpec, params, x):
-    """x: (..., dim_in) -> (..., dim_out)."""
+    """x: (..., dim_in) -> (..., dim_out).
+
+    TPU layout note: feature blocks are stored **ir_mul** — ``(2l+1, mul)``
+    within the flat axis — so the minor (lane) dimension is the
+    multiplicity (>=32) rather than the tiny spherical dimension; the block
+    matmul contracts the lane axis on the MXU. (Same trick as
+    cuEquivariance's 'ir_mul' layout.) The layout is internal: checkpoint
+    weights act on multiplicity indices only and are layout-independent.
+    """
     in_slices = spec.irreps_in.slices()
     out_blocks: List[Optional[jnp.ndarray]] = [None] * len(spec.irreps_out)
     lead = x.shape[:-1]
     for (i_in, i_out, alpha), w in zip(spec.instructions, params["w"]):
         mi_in = spec.irreps_in[i_in]
         d = mi_in.ir.dim
-        xb = x[..., in_slices[i_in]].reshape(*lead, mi_in.mul, d)
-        yb = jnp.einsum("...ud,uv->...vd", xb, w) * alpha
+        xb = x[..., in_slices[i_in]].reshape(*lead, d, mi_in.mul)
+        yb = jnp.einsum("...du,uv->...dv", xb, w) * alpha
         if out_blocks[i_out] is None:
             out_blocks[i_out] = yb
         else:
@@ -101,10 +109,10 @@ def linear_apply(spec: LinearSpec, params, x):
         for j, mi in enumerate(spec.irreps_out):
             if mi.ir.l == 0 and mi.ir.p == 1:
                 bj = b[off : off + mi.mul].reshape(
-                    (1,) * len(lead) + (mi.mul, 1)
+                    (1,) * len(lead) + (1, mi.mul)
                 )
                 if out_blocks[j] is None:
-                    out_blocks[j] = jnp.broadcast_to(bj, (*lead, mi.mul, 1)).astype(x.dtype)
+                    out_blocks[j] = jnp.broadcast_to(bj, (*lead, 1, mi.mul)).astype(x.dtype)
                 else:
                     out_blocks[j] = out_blocks[j] + bj
                 off += mi.mul
@@ -113,7 +121,7 @@ def linear_apply(spec: LinearSpec, params, x):
     for j, mi in enumerate(spec.irreps_out):
         blk = out_blocks[j]
         if blk is None:
-            blk = jnp.zeros((*lead, mi.mul, mi.ir.dim), dtype=x.dtype)
+            blk = jnp.zeros((*lead, mi.ir.dim, mi.mul), dtype=x.dtype)
         pieces.append(blk.reshape(*lead, mi.dim))
     return jnp.concatenate(pieces, axis=-1)
 

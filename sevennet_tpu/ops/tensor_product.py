@@ -109,7 +109,6 @@ def conv_tp_apply(spec: ConvTPSpec, x, filt, weight):
     """
     xs = spec.irreps_x.slices()
     fs = spec.irreps_filter.slices()
-    ms = spec.irreps_mid.slices()
     E = x.shape[0]
     out = [None] * len(spec.irreps_mid)
     w_off = 0
@@ -121,20 +120,37 @@ def conv_tp_apply(spec: ConvTPSpec, x, filt, weight):
         w3j = jnp.asarray(
             real_wigner_3j(mi_x.ir.l, mi_f.ir.l, mi_o.ir.l), dtype=x.dtype
         )
-        xb = x[:, xs[i]].reshape(E, mi_x.mul, mi_x.ir.dim)
+        # ir_mul layout: block = (2l+1, mul); minor dim = multiplicity
+        xb = x[:, xs[i]].reshape(E, mi_x.ir.dim, mi_x.mul)
         fb = filt[:, fs[j]]  # (E, d2)
         wb = weight[:, w_off : w_off + mi_x.mul]  # (E, mul)
         w_off += mi_x.mul * mi_f.mul
-        # tmp[e, m1, m3] = sum_m2 w3j[m1, m2, m3] fb[e, m2]
+        # tmp[e, m1, m3] = sum_m2 w3j[m1, m2, m3] fb[e, m2]  (tiny)
         tmp = jnp.einsum("mnp,en->emp", w3j, fb)
-        msg = jnp.einsum("eum,emp->eup", xb, tmp) * (pw * wb)[..., None]
+        xw = xb * (pw * wb)[:, None, :]  # (E, d1, mul)
+        # batched small-contraction over m; output minor dim = mul
+        msg = jnp.einsum("emp,emu->epu", tmp, xw)
         out[k] = msg if out[k] is None else out[k] + msg
+    # Assemble output. Under the ir_mul layout, adjacent blocks with the
+    # SAME irrep must be joined along the mul axis before flattening so the
+    # downstream Linear (built on irreps_mid.simplify()) reads one
+    # contiguous (2l+1, total_mul) block with multiplicities in sorted-block
+    # order (= e3nn's simplified order).
     pieces = []
-    for k, mi in enumerate(spec.irreps_mid):
-        blk = out[k]
-        if blk is None:
-            blk = jnp.zeros((E, mi.mul, mi.ir.dim), dtype=x.dtype)
-        pieces.append(blk.reshape(E, mi.dim))
+    k = 0
+    n_blocks = len(spec.irreps_mid)
+    while k < n_blocks:
+        ir = spec.irreps_mid[k].ir
+        group = []
+        while k < n_blocks and spec.irreps_mid[k].ir == ir:
+            mi = spec.irreps_mid[k]
+            blk = out[k]
+            if blk is None:
+                blk = jnp.zeros((E, mi.ir.dim, mi.mul), dtype=x.dtype)
+            group.append(blk)
+            k += 1
+        joined = group[0] if len(group) == 1 else jnp.concatenate(group, axis=-1)
+        pieces.append(joined.reshape(E, -1))
     return jnp.concatenate(pieces, axis=-1)
 
 
@@ -209,14 +225,15 @@ def fctp_apply(spec: FCTPSpec, params, x1, x2):
         w3j = jnp.asarray(
             real_wigner_3j(mi1.ir.l, mi2.ir.l, mio.ir.l), dtype=x1.dtype
         )
-        xb = x1[:, s1[i1]].reshape(N, mi1.mul, mi1.ir.dim)
-        yb = x2[:, s2[i2]].reshape(N, mi2.mul, mi2.ir.dim)
-        blk = pw * jnp.einsum("num,nvk,mkp,uvw->nwp", xb, yb, w3j, w)
+        # ir_mul layout: (2l+1, mul) blocks
+        xb = x1[:, s1[i1]].reshape(N, mi1.ir.dim, mi1.mul)
+        yb = x2[:, s2[i2]].reshape(N, mi2.ir.dim, mi2.mul)
+        blk = pw * jnp.einsum("nmu,nkv,mkp,uvw->npw", xb, yb, w3j, w)
         out[io] = blk if out[io] is None else out[io] + blk
     pieces = []
     for io, mi in enumerate(spec.irreps_out):
         blk = out[io]
         if blk is None:
-            blk = jnp.zeros((N, mi.mul, mi.ir.dim), dtype=x1.dtype)
+            blk = jnp.zeros((N, mi.ir.dim, mi.mul), dtype=x1.dtype)
         pieces.append(blk.reshape(N, mi.dim))
     return jnp.concatenate(pieces, axis=-1)

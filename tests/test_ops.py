@@ -144,17 +144,26 @@ def test_conv_tp_equivariance():
 
     def feats(v_aux):
         Y = spherical_harmonics(2, jnp.asarray(v_aux, jnp.float32))
-        # 3x0e from Y0, 2x1o from Y1, 1x2e from Y2
+        # 3x0e from Y0, 2x1o from Y1, 1x2e from Y2 (ir_mul layout: the mul
+        # axis is minor within each block)
         return jnp.concatenate(
-            [jnp.tile(Y[:, :1], (1, 3)), jnp.tile(Y[:, 1:4], (1, 2)), Y[:, 4:9]],
+            [
+                jnp.tile(Y[:, :1], (1, 3)),
+                jnp.repeat(Y[:, 1:4], 2, axis=-1),
+                Y[:, 4:9],
+            ],
             axis=-1,
         )
 
     def out_norms(v_edge, v_aux):
         Yf = spherical_harmonics(2, jnp.asarray(v_edge, jnp.float32))
         o = conv_tp_apply(spec, feats(v_aux), Yf, w)
+        # grouped ir_mul assembly: norms per SIMPLIFIED block (full irrep
+        # groups) are the rotation invariants
         return np.asarray(
-            jnp.stack([jnp.linalg.norm(o[:, s]) for s in spec.irreps_mid.slices()])
+            jnp.stack(
+                [jnp.linalg.norm(o[:, s]) for s in spec.irreps_mid.simplify().slices()]
+            )
         )
 
     R = Rotation.from_rotvec([0.3, 0.7, -0.4]).as_matrix()
