@@ -129,6 +129,10 @@ class SevenNetTPUCalculator:
     def get_stress(self, atoms) -> np.ndarray:
         return self.calculate(atoms)["stress"]
 
+    def with_d3(self, functional: str = "pbe", damping_type: str = "damp_bj",
+                **d3_kwargs) -> "SevenNetD3Calculator":
+        return SevenNetD3Calculator(self, functional, damping_type, **d3_kwargs)
+
     def as_ase(self):
         """Return a real ``ase.calculators`` Calculator wrapping this one
         (requires ASE installed)."""
@@ -146,3 +150,36 @@ class SevenNetTPUCalculator:
                 self.results = dict(parent.calculate(atoms))
 
         return _ASECalc()
+
+
+class SevenNetD3Calculator:
+    """Model + Grimme D3 dispersion (the reference's ``SevenNetD3Calculator``,
+    ``sevenn/calculator.py:236-314`` — a SumCalculator of both)."""
+
+    def __init__(self, base: SevenNetTPUCalculator | str, functional: str = "pbe",
+                 damping_type: str = "damp_bj", **d3_kwargs):
+        from .d3 import D3Calculator
+
+        if not isinstance(base, SevenNetTPUCalculator):
+            base = SevenNetTPUCalculator(base)
+        self.base = base
+        self.d3 = D3Calculator(functional, damping_type, **d3_kwargs)
+        self.results: Dict[str, Any] = {}
+
+    def calculate(self, atoms) -> Dict[str, Any]:
+        a = self.base.calculate(atoms)
+        b = self.d3.calculate(atoms)
+        out = dict(a)
+        out["energy"] = a["energy"] + b["energy"]
+        out["free_energy"] = out["energy"]
+        out["forces"] = a["forces"] + b["forces"]
+        if "stress" in a and "stress" in b:
+            out["stress"] = a["stress"] + b["stress"]
+        self.results = out
+        return out
+
+    def get_potential_energy(self, atoms) -> float:
+        return self.calculate(atoms)["energy"]
+
+    def get_forces(self, atoms):
+        return self.calculate(atoms)["forces"]

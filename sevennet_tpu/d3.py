@@ -1,0 +1,258 @@
+"""Grimme D3 dispersion correction (BJ and zero damping), pure JAX.
+
+The TPU-native equivalent of the reference's CUDA implementation
+(``sevenn/pair_e3gnn/pair_d3.cu``, exposed to ASE via ctypes in
+``sevenn/calculator.py:317-618``): same physics —
+
+- fractional coordination numbers ``CN_i = sum_j 1/(1+exp(-K1((4/3)
+  (rcov_i+rcov_j)/r - 1)))`` (``kernel_get_coordination_number``,
+  ``pair_d3.cu:1035``);
+- C6 from Gaussian-weighted interpolation over Grimme's reference points
+  (``get_dC6_dCNij``, ``:796`` — here the derivative comes from jax.grad
+  instead of hand-written chain rule);
+- E = -1/2 sum_ij [ s6 C6 f6(r) + s8 C8 f8(r) ], BJ damping
+  ``f_n = r^n/(r^n + (a1 sqrt(C8/C6) + a2)^n)`` or zero damping;
+- forces/stress via autodiff of the smooth energy.
+
+Parameter tables (public Grimme-D3 data: r0ab, rcov, r2r4, c6ab
+references) are packed in ``d3data/d3_params.npz``. Unlike the CUDA code
+(FP32, 46k-atom int overflow, ``pair_e3gnn/README.md:66``) this works on
+padded edge lists with no atom-count limit beyond memory.
+
+Units: inputs in Angstrom, outputs in eV (eV/A for forces).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["D3Params", "d3_energy", "D3Calculator", "FUNCTIONAL_PARAMS_BJ", "FUNCTIONAL_PARAMS_ZERO"]
+
+AU_TO_ANG = 0.52917726
+AU_TO_EV = 27.21138505
+K1 = 16.0
+K3 = -4.0
+MAXC = 5
+
+# (rs6/a1, s18/s8, rs18/a2) per functional, BJ damping (s6 = 1 unless noted);
+# values from the standard dftd3 parameterization (reference setfuncpar_bj)
+FUNCTIONAL_PARAMS_BJ: Dict[str, Tuple[float, float, float, float]] = {
+    # name: (s6, a1, s8, a2)
+    "pbe": (1.0, 0.4289, 0.7875, 4.4407),
+    "pbe0": (1.0, 0.4145, 1.2177, 4.8593),
+    "pbesol": (1.0, 0.4466, 2.9491, 6.1742),
+    "revpbe": (1.0, 0.5238, 2.3550, 3.5016),
+    "rpbe": (1.0, 0.1820, 0.8318, 4.0094),
+    "b-lyp": (1.0, 0.4298, 2.6996, 4.2359),
+    "b-p": (1.0, 0.3946, 3.2822, 4.8516),
+    "b3-lyp": (1.0, 0.3981, 1.9889, 4.4211),
+    "tpss": (1.0, 0.4535, 1.9435, 4.4752),
+    "hf": (1.0, 0.3385, 0.9171, 2.8830),
+    "hse06": (1.0, 0.383, 2.310, 5.685),
+    "scan": (1.0, 0.538, 0.0, 5.42),
+    "r2scan": (1.0, 0.4948, 0.7898, 5.7308),
+    "b97-d": (1.0, 0.5545, 2.2609, 3.2297),
+}
+
+# zero damping: (s6, rs6, s18) with rs18=1, alp=14
+FUNCTIONAL_PARAMS_ZERO: Dict[str, Tuple[float, float, float]] = {
+    "pbe": (1.0, 1.217, 0.722),
+    "pbe0": (1.0, 1.287, 0.928),
+    "revpbe": (1.0, 0.923, 1.010),
+    "b-lyp": (1.0, 1.094, 1.682),
+    "b3-lyp": (1.0, 1.261, 1.703),
+    "tpss": (1.0, 1.166, 1.105),
+    "hf": (1.0, 1.158, 1.746),
+}
+
+
+@lru_cache(maxsize=1)
+def _load_tables():
+    path = os.path.join(os.path.dirname(__file__), "d3data", "d3_params.npz")
+    z = np.load(path)
+    return {k: z[k] for k in z.files}
+
+
+@dataclass(frozen=True)
+class D3Params:
+    s6: float
+    s8: float
+    a1: float  # rs6 for zero damping
+    a2: float  # rs18 for zero damping
+    damping: str = "bj"  # 'bj' | 'zero'
+    alp: float = 14.0
+    cutoff: float = float(np.sqrt(9000.0) * AU_TO_ANG)  # ~50 A
+    cn_cutoff: float = float(np.sqrt(1600.0) * AU_TO_ANG)  # ~21 A
+
+    @staticmethod
+    def from_functional(name: str, damping: str = "bj") -> "D3Params":
+        name = name.lower()
+        if damping in ("bj", "damp_bj"):
+            s6, a1, s8, a2 = FUNCTIONAL_PARAMS_BJ[name]
+            return D3Params(s6=s6, s8=s8, a1=a1, a2=a2, damping="bj")
+        s6, rs6, s18 = FUNCTIONAL_PARAMS_ZERO[name]
+        return D3Params(s6=s6, s8=s18, a1=rs6, a2=1.0, damping="zero")
+
+
+def d3_energy(
+    params: D3Params,
+    numbers,  # (N,) atomic numbers (int), may include padding zeros
+    edge_dst,  # (E,) receiver i
+    edge_src,  # (E,) sender j (full double-counted list)
+    edge_vec,  # (E, 3) r_j - r_i, Angstrom
+    edge_mask,  # (E,)
+    atom_mask=None,  # (N,)
+) -> jnp.ndarray:
+    """Total D3 energy (eV) over a padded full edge list.
+
+    Both (i,j) and (j,i) must be present; pair terms carry a 1/2 factor.
+    Differentiable in ``edge_vec`` -> forces/virial via autodiff.
+    """
+    t = _load_tables()
+    dtype = edge_vec.dtype
+    rcov = jnp.asarray(t["rcov"], dtype)  # a.u., index z-1
+    r2r4 = jnp.asarray(t["r2r4"], dtype)
+    c6_ref = jnp.asarray(t["c6ab_c6"], dtype)  # (95,95,5,5)
+    cn1_ref = jnp.asarray(t["c6ab_cn1"], dtype)
+    cn2_ref = jnp.asarray(t["c6ab_cn2"], dtype)
+
+    n = numbers.shape[0]
+    if atom_mask is None:
+        atom_mask = numbers > 0
+    em = edge_mask.astype(dtype)
+
+    z = jnp.clip(numbers, 0, 94)
+    zi = z[edge_dst]
+    zj = z[edge_src]
+
+    r_ang = jnp.linalg.norm(
+        jnp.where(edge_mask[:, None], edge_vec, jnp.array([1.0, 0.0, 0.0], dtype)),
+        axis=-1,
+    )
+    r = r_ang / AU_TO_ANG  # a.u.
+
+    # coordination numbers
+    rco = rcov[zi - 1] + rcov[zj - 1]  # already scaled by 4/3
+    damp_cn = 1.0 / (1.0 + jnp.exp(-K1 * (rco / r - 1.0)))
+    damp_cn = damp_cn * em * (r_ang < params.cn_cutoff)
+    cn = jax.ops.segment_sum(damp_cn, edge_dst, num_segments=n)
+
+    # C6 interpolation over reference points (vectorized per edge)
+    cni = cn[edge_dst]
+    cnj = cn[edge_src]
+    refs_c6 = c6_ref[zi, zj]  # (E, 5, 5)
+    refs_cn1 = cn1_ref[zi, zj]
+    refs_cn2 = cn2_ref[zi, zj]
+    valid = refs_c6 > -0.5
+    d2 = (refs_cn1 - cni[:, None, None]) ** 2 + (refs_cn2 - cnj[:, None, None]) ** 2
+    w = jnp.where(valid, jnp.exp(K3 * d2), 0.0)
+    wsum = jnp.sum(w, axis=(1, 2))
+    # guard: if all weights underflow, fall back to the closest reference
+    big = jnp.where(valid, -d2, -jnp.inf)
+    fallback = jax.nn.softmax(big.reshape(big.shape[0], -1) * 1e3, axis=-1)
+    w_flat = jnp.where(
+        (wsum > 1e-30)[:, None],
+        w.reshape(w.shape[0], -1) / jnp.maximum(wsum, 1e-30)[:, None],
+        fallback,
+    )
+    c6 = jnp.sum(w_flat * refs_c6.reshape(refs_c6.shape[0], -1), axis=-1)  # a.u.
+
+    r42 = r2r4[zi - 1] * r2r4[zj - 1]
+    c8 = 3.0 * c6 * r42
+
+    r2 = r * r
+    r6 = r2 * r2 * r2
+    r8 = r6 * r2
+    within = em * (r_ang < params.cutoff)
+
+    if params.damping == "bj":
+        rr = params.a1 * jnp.sqrt(3.0 * r42) + params.a2
+        rr2 = rr * rr
+        rr6 = rr2 * rr2 * rr2
+        rr8 = rr6 * rr2
+        e6 = c6 / (r6 + rr6)
+        e8 = c8 / (r8 + rr8)
+    else:  # zero damping
+        r0 = jnp.asarray(t["r0ab"], dtype)[zi - 1, zj - 1] / AU_TO_ANG
+        t6 = (r / (params.a1 * r0)) ** (-params.alp)
+        f6 = 1.0 / (1.0 + 6.0 * t6)
+        t8 = (r / (params.a2 * r0)) ** (-(params.alp + 2.0))
+        f8 = 1.0 / (1.0 + 6.0 * t8)
+        e6 = f6 * c6 / r6
+        e8 = f8 * c8 / r8
+
+    e_pair = -0.5 * (params.s6 * e6 + params.s8 * e8) * within
+    return jnp.sum(e_pair) * AU_TO_EV
+
+
+class D3Calculator:
+    """Standalone ASE-style D3 calculator (the analogue of the reference's
+    ``D3Calculator``, ``sevenn/calculator.py:387-618``)."""
+
+    def __init__(self, functional: str = "pbe", damping_type: str = "damp_bj",
+                 cutoff_ang: Optional[float] = None):
+        damping = "bj" if "bj" in damping_type else "zero"
+        p = D3Params.from_functional(functional, damping)
+        if cutoff_ang is not None:
+            p = D3Params(s6=p.s6, s8=p.s8, a1=p.a1, a2=p.a2, damping=p.damping,
+                         alp=p.alp, cutoff=cutoff_ang, cn_cutoff=min(p.cn_cutoff, cutoff_ang))
+        self.params = p
+        self._jit = jax.jit(self._compute)
+
+    def _compute(self, numbers, dst, src, ev, emask):
+        def etot(ev):
+            return d3_energy(self.params, numbers, dst, src, ev, emask)
+
+        e, g = jax.value_and_grad(etot)(ev)
+        n = numbers.shape[0]
+        pf = jax.ops.segment_sum(g, dst, num_segments=n)
+        nf = jax.ops.segment_sum(g, src, num_segments=n)
+        forces = pf - nf
+        v6 = jnp.concatenate(
+            [ev * g,
+             (ev[:, 0] * g[:, 1])[:, None],
+             (ev[:, 1] * g[:, 2])[:, None],
+             (ev[:, 2] * g[:, 0])[:, None]],
+            axis=-1,
+        )
+        virial = -jnp.sum(v6, axis=0)
+        return e, forces, virial
+
+    def calculate(self, atoms) -> dict:
+        from .atoms import as_atoms
+        from .data.neighborlist import neighbor_list_numpy
+
+        at = as_atoms(atoms)
+        cutoff = self.params.cutoff
+        # D3's ~50 A default cutoff is heavy for small cells; the energy
+        # converges fast — use min(cutoff, 3 box heights) like typical
+        # dftd3 lattice summation bounds
+        dst, src, S = neighbor_list_numpy(at.positions, cutoff, at.cell, at.pbc)
+        ev = at.positions[src] - at.positions[dst]
+        if at.cell is not None:
+            ev = ev + S @ at.cell
+        e, forces, virial = self._jit(
+            jnp.asarray(at.numbers, jnp.int32),
+            jnp.asarray(dst, jnp.int32),
+            jnp.asarray(src, jnp.int32),
+            jnp.asarray(ev, jnp.float32),
+            jnp.ones(len(dst), bool),
+        )
+        results = {
+            "energy": float(e),
+            "free_energy": float(e),
+            "forces": np.asarray(forces),
+        }
+        if at.cell is not None and at.pbc.any():
+            vol = at.volume()
+            s = np.asarray(virial) / max(vol, 1e-3)
+            results["stress"] = -s[[0, 1, 2, 4, 5, 3]]  # ASE voigt
+        self.results = results
+        return results

@@ -110,9 +110,14 @@ class ModelSpec:
     readout2: Optional[LinearSpec]
     readout_fcn: Optional[ScalarMLPSpec]
     readout_fcn_act: str
-    rescale_mode: str  # 'scalar' | 'species'
-    shift_init: Tuple[float, ...]
-    scale_init: Tuple[float, ...]
+    rescale_mode: str  # 'scalar' | 'species' | 'modal'
+    shift_init: Tuple  # floats, or tuples-of-floats for modal-wise
+    scale_init: Tuple
+    use_modal_wise_shift: bool = False
+    use_modal_wise_scale: bool = False
+    # names of linear layers that receive the modality one-hot appended to
+    # their input (reference patch_modality, model_build.py:185-230)
+    modal_linears: Tuple[str, ...] = ()
     train_denominator: bool = False
     train_shift_scale: bool = False
     use_bias: bool = False
@@ -186,11 +191,35 @@ def build_model_spec(config: Dict[str, Any]) -> ModelSpec:
         irreps_manual = [Irreps(s) for s in irreps_manual]
         assert len(irreps_manual) == num_conv + 1
 
+    # multi-fidelity modality (reference patch_modality, model_build.py:185-230)
+    use_modality = bool(cfg.get("use_modality", False))
+    num_modalities = int(cfg.get("num_modalities", 0)) if use_modality else 0
+    modal_map = cfg.get("modal_map") or {}
+    modal_irreps = (
+        Irreps([(num_modalities, (0, 1))]) if num_modalities > 1 else Irreps()
+    )
+    modal_linears = []
+
+    def _with_modal(irreps_in: Irreps, enabled: bool, name: str) -> Irreps:
+        if num_modalities > 1 and enabled:
+            modal_linears.append(name)
+            return irreps_in + modal_irreps
+        return irreps_in
+
+    m_embed = bool(cfg.get("use_modal_node_embedding", False))
+    m_intro = bool(cfg.get("use_modal_self_inter_intro", False))
+    m_outro = bool(cfg.get("use_modal_self_inter_outro", False))
+    m_out = bool(cfg.get("use_modal_output_block", False))
+
     one_hot_irreps = Irreps([(num_species, (0, 1))])
     irreps_x = (
         Irreps([(channel, (0, 1))]) if irreps_manual is False else irreps_manual[0]
     )
-    embed_linear = LinearSpec(one_hot_irreps, irreps_x, biases=use_bias)
+    embed_linear = LinearSpec(
+        _with_modal(one_hot_irreps, m_embed, "onehot_to_feature_x"),
+        irreps_x,
+        biases=use_bias,
+    )
 
     conv_denominator = cfg["conv_denominator"]
     if not isinstance(conv_denominator, (list, tuple)):
@@ -236,14 +265,22 @@ def build_model_spec(config: Dict[str, Any]) -> ModelSpec:
         elif sc_type != "none":
             raise ValueError(f"unknown self_connection_type {sc_type}")
 
-        si1 = LinearSpec(irreps_x, irreps_x, biases=use_bias)
+        si1 = LinearSpec(
+            _with_modal(irreps_x, m_intro, f"{t}_self_interaction_1"),
+            irreps_x,
+            biases=use_bias,
+        )
         conv = ConvTPSpec(irreps_x, irreps_filter, irreps_out_tp)
         radial_mlp = ScalarMLPSpec(
             tuple([radial_basis_num] + weight_nn_hidden + [conv.weight_numel]),
             act=act_radial,
         )
         # simplified mid irreps = Linear input (sorted blocks are contiguous)
-        si2 = LinearSpec(conv.irreps_mid.simplify(), gate_in, biases=use_bias)
+        si2 = LinearSpec(
+            _with_modal(conv.irreps_mid.simplify(), m_outro, f"{t}_self_interaction_2"),
+            gate_in,
+            biases=use_bias,
+        )
 
         layers.append(
             InteractionLayerSpec(
@@ -277,12 +314,22 @@ def build_model_spec(config: Dict[str, Any]) -> ModelSpec:
         )
     else:
         hidden = Irreps([(irreps_x.dim // 2, (0, 1))])
-        readout1 = LinearSpec(irreps_x, hidden, biases=use_bias)
+        readout1 = LinearSpec(
+            _with_modal(irreps_x, m_out, "reduce_input_to_hidden"),
+            hidden,
+            biases=use_bias,
+        )
         readout2 = LinearSpec(hidden, Irreps([(1, (0, 1))]), biases=use_bias)
 
     # shift / scale
     shift, scale = cfg["shift"], cfg["scale"]
-    if isinstance(shift, (list, tuple)) or isinstance(scale, (list, tuple)):
+    use_mw_shift = bool(cfg.get("use_modal_wise_shift", False))
+    use_mw_scale = bool(cfg.get("use_modal_wise_scale", False))
+    if num_modalities > 1 and (use_mw_shift or use_mw_scale):
+        rescale_mode = "modal"
+        shift = _resolve_modal(shift, type_map, num_modalities, use_mw_shift)
+        scale = _resolve_modal(scale, type_map, num_modalities, use_mw_scale)
+    elif isinstance(shift, (list, tuple)) or isinstance(scale, (list, tuple)):
         rescale_mode = "species"
         shift = _resolve_per_species(shift, type_map)
         scale = _resolve_per_species(scale, type_map)
@@ -314,9 +361,34 @@ def build_model_spec(config: Dict[str, Any]) -> ModelSpec:
         train_denominator=bool(cfg["train_denominator"]),
         train_shift_scale=bool(cfg["train_shift_scale"]),
         use_bias=use_bias,
+        num_modalities=num_modalities,
+        modal_map=tuple(sorted(dict(modal_map).items(), key=lambda kv: kv[1])),
+        use_modal_wise_shift=bool(cfg.get("use_modal_wise_shift", False)),
+        use_modal_wise_scale=bool(cfg.get("use_modal_wise_scale", False)),
+        modal_linears=tuple(modal_linears),
         remat_layers=bool(cfg.get("_remat", True)),
         edge_chunk=int(cfg.get("_edge_chunk", 0)),
     )
+
+
+def _resolve_modal(v, type_map, num_modalities: int, modal_wise: bool):
+    """Resolve shift/scale into a (num_modalities, num_species) nested tuple
+    (or per-species when not modal-wise) — reference ModalWiseRescale
+    semantics (``sevenn/nn/scale.py:469-569``)."""
+    n = len(type_map)
+    if not modal_wise:
+        return tuple(_resolve_per_species(v, type_map))
+    if isinstance(v, (int, float)):
+        return tuple(tuple([float(v)] * n) for _ in range(num_modalities))
+    v = list(v)
+    if v and isinstance(v[0], (list, tuple)):
+        assert len(v) == num_modalities
+        return tuple(tuple(_resolve_per_species(list(row), type_map)) for row in v)
+    if len(v) == num_modalities:
+        return tuple(tuple([float(x)] * n) for x in v)
+    # per-species list shared across modalities
+    row = _resolve_per_species(v, type_map)
+    return tuple(tuple(row) for _ in range(num_modalities))
 
 
 def _resolve_per_species(v: Union[float, list, tuple], type_map: Dict[int, int]):

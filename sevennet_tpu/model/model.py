@@ -148,7 +148,29 @@ def model_energy(
     sh = spherical_harmonics(spec.lmax_edge, ev, normalize=spec.normalize_sph)
 
     onehot = jax.nn.one_hot(graph.species, spec.num_species, dtype=dtype)
-    x = linear_apply(spec.embed_linear, params["onehot_to_feature_x"], onehot)
+
+    # multi-fidelity: per-atom modality one-hot appended to selected linears
+    if spec.num_modalities > 1:
+        modal = graph.modal if graph.modal is not None else jnp.zeros(
+            graph.n_graphs_cap, jnp.int32
+        )
+        modal_oh = jax.nn.one_hot(modal, spec.num_modalities, dtype=dtype)[
+            graph.batch
+        ]
+
+        def with_modal(name, v):
+            if name in spec.modal_linears:
+                return jnp.concatenate([v, modal_oh], axis=-1)
+            return v
+    else:
+        def with_modal(name, v):
+            return v
+
+    x = linear_apply(
+        spec.embed_linear,
+        params["onehot_to_feature_x"],
+        with_modal("onehot_to_feature_x", onehot),
+    )
 
     n_atoms = graph.n_atoms_cap
     for layer in spec.layers:
@@ -175,13 +197,21 @@ def model_energy(
                 )
             else:
                 sc = None
-            x = linear_apply(layer.si1, lp[f"{t}_self_interaction_1"], x)
+            x = linear_apply(
+                layer.si1,
+                lp[f"{t}_self_interaction_1"],
+                with_modal(f"{t}_self_interaction_1", x),
+            )
             x = _convolve(
                 spec, layer, lp[f"{t}_convolution"], x, edge_emb, sh,
                 graph.edge_src, graph.edge_dst, n_atoms,
             )
             x = x / lp[f"{t}_convolution"]["denominator"][0]
-            x = linear_apply(layer.si2, lp[f"{t}_self_interaction_2"], x)
+            x = linear_apply(
+                layer.si2,
+                lp[f"{t}_self_interaction_2"],
+                with_modal(f"{t}_self_interaction_2", x),
+            )
             if sc is not None:
                 x = x + sc
             return gate_apply(layer.gate, x)
@@ -193,12 +223,32 @@ def model_energy(
     if spec.readout_as_fcn:
         e_scaled = scalar_mlp_apply(spec.readout_fcn, params["readout_FCN"], x)
     else:
-        h = linear_apply(spec.readout1, params["reduce_input_to_hidden"], x)
+        h = linear_apply(
+            spec.readout1,
+            params["reduce_input_to_hidden"],
+            with_modal("reduce_input_to_hidden", x),
+        )
         e_scaled = linear_apply(spec.readout2, params["reduce_hidden_to_energy"], h)
     e_scaled = e_scaled[:, 0]  # (N,)
 
     rs = params["rescale_atomic_energy"]
-    if spec.rescale_mode == "species":
+    if spec.rescale_mode == "modal":
+        modal_idx = (
+            graph.modal if graph.modal is not None else jnp.zeros(
+                graph.n_graphs_cap, jnp.int32
+            )
+        )[graph.batch]
+        shift = (
+            rs["shift"][modal_idx, graph.species]
+            if spec.use_modal_wise_shift
+            else rs["shift"][graph.species]
+        )
+        scale = (
+            rs["scale"][modal_idx, graph.species]
+            if spec.use_modal_wise_scale
+            else rs["scale"][graph.species]
+        )
+    elif spec.rescale_mode == "species":
         shift = rs["shift"][graph.species]
         scale = rs["scale"][graph.species]
     else:

@@ -1,0 +1,93 @@
+"""Multi-fidelity (modality) support: one-hot appended to selected linears
+(reference patch_modality, model_build.py:185-230) and modal-wise rescale
+(sevenn/nn/scale.py ModalWiseRescale)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from sevennet_tpu.model import build_model_spec
+from sevennet_tpu.model.model import model_init
+
+from .conftest import build_graph, compute
+
+MODAL_CONFIG = {
+    "cutoff": 4.0,
+    "channel": 4,
+    "lmax": 1,
+    "is_parity": False,
+    "num_convolution_layer": 2,
+    "chemical_species": ["Hf", "O"],
+    "self_connection_type": "linear",
+    "conv_denominator": 6.0,
+    "use_modality": True,
+    "num_modalities": 2,
+    "modal_map": {"pbe": 0, "scan": 1},
+    "use_modal_node_embedding": False,
+    "use_modal_self_inter_intro": True,
+    "use_modal_self_inter_outro": True,
+    "use_modal_output_block": True,
+    "use_modal_wise_shift": True,
+    "use_modal_wise_scale": False,
+    "shift": [[-1.0, -2.0], [-1.5, -2.5]],  # (modal, species)
+    "scale": [0.5, 0.7],  # per species
+}
+
+
+@pytest.fixture(scope="module")
+def modal_model():
+    spec = build_model_spec(MODAL_CONFIG)
+    params = model_init(jax.random.PRNGKey(0), spec)
+    return spec, params
+
+
+def test_modal_spec(modal_model):
+    spec, params = modal_model
+    assert spec.num_modalities == 2
+    assert "0_self_interaction_1" in spec.modal_linears
+    assert "reduce_input_to_hidden" in spec.modal_linears
+    assert "onehot_to_feature_x" not in spec.modal_linears
+    # modal block appended to si1 input irreps
+    assert spec.layers[0].si1.irreps_in.dim == spec.layers[0].irreps_x.dim + 2
+    # modal-wise shift array
+    assert np.asarray(params["rescale_atomic_energy"]["shift"]).shape == (2, 2)
+    assert np.asarray(params["rescale_atomic_energy"]["scale"]).shape == (2,)
+
+
+def test_modal_changes_prediction(modal_model):
+    spec, params = modal_model
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 6, (8, 3))
+    Z = rng.choice([72, 8], 8)
+    gb0 = build_graph(spec, pos, Z, np.eye(3) * 6.0)
+    gb1 = gb0.replace(modal=gb0.modal + 1)
+    e0 = float(compute(spec, params, gb0)["energy"][0])
+    e1 = float(compute(spec, params, gb1)["energy"][0])
+    assert abs(e0 - e1) > 1e-6  # modalities genuinely differ
+    assert np.isfinite(e0) and np.isfinite(e1)
+
+
+def test_modal_batch_consistency(modal_model):
+    """A batch with mixed modalities == separate single evaluations."""
+    import jax.numpy as jnp
+
+    from sevennet_tpu.data import batch_graphs, graph_from_arrays, neighbor_list_numpy
+
+    spec, params = modal_model
+    rng = np.random.default_rng(1)
+    singles = []
+    graphs = []
+    for modal in (0, 1):
+        pos = rng.uniform(0, 6, (6, 3))
+        Z = rng.choice([72, 8], 6)
+        species = spec.z_to_type[Z]
+        dst, src, S = neighbor_list_numpy(pos, spec.cutoff, np.eye(3) * 6, True)
+        g = graph_from_arrays(pos, species, src, dst, S, np.eye(3) * 6, modal=modal)
+        graphs.append(g)
+        singles.append(float(compute(spec, params, batch_graphs([g]))["energy"][0]))
+    big = batch_graphs(graphs, n_atoms_cap=16, n_edges_cap=1024, n_graphs_cap=3)
+    out = compute(spec, params, big)
+    assert abs(float(out["energy"][0]) - singles[0]) < 1e-4
+    assert abs(float(out["energy"][1]) - singles[1]) < 1e-4
