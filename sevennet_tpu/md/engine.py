@@ -56,13 +56,18 @@ class MDEngine:
         skin: float = 0.6,
         matmul_precision: str = "highest",
         cl_spec: Optional[CellListSpec] = None,
+        dense: bool = True,
     ):
+        """``dense=True`` keeps the cell list's (N, K) slot layout and runs
+        the dense-neighbor convolution (fastest on TPU); ``dense=False``
+        compacts edges to a flat list (less padding, slower conv)."""
         self.spec = spec
         self.params = params
         self.cell = np.asarray(cell, dtype=np.float64)
         self.skin = skin
         self.precision = matmul_precision
         self.cl_spec = cl_spec
+        self.dense = dense
         self._run_cache: Dict = {}
 
     # -- setup ---------------------------------------------------------------
@@ -73,11 +78,22 @@ class MDEngine:
         temperature: Optional[float] = None,
         seed: int = 0,
     ) -> MDState:
+        import dataclasses
+
         n = len(positions)
         if self.cl_spec is None:
             self.cl_spec = build_cell_list_spec(
                 self.cell, n, self.spec.cutoff, self.skin
             )
+        if self.dense:
+            # dense conv consumes the full (N, K) slot grid directly
+            self.cl_spec = dataclasses.replace(self.cl_spec, edge_cap=0)
+            if self.spec.edge_dense_k != self.cl_spec.neighbor_capacity:
+                self.spec = dataclasses.replace(
+                    self.spec,
+                    edge_dense_k=self.cl_spec.neighbor_capacity,
+                    edge_chunk=0,
+                )
         species = self.spec.z_to_type[np.asarray(atomic_numbers)]
         assert (species >= 0).all(), "unknown species for this model"
         state = init_md_state(

@@ -41,6 +41,7 @@ class CellListSpec:
     cell_capacity: int
     neighbor_capacity: int
     cutoff: float  # interaction cutoff + skin
+    edge_cap: int = 0  # compacted edge capacity (0 = no compaction, N*K)
 
     @property
     def total_cells(self) -> int:
@@ -48,6 +49,8 @@ class CellListSpec:
         return nx * ny * nz
 
     def edge_capacity(self, n_atoms_cap: int) -> int:
+        if self.edge_cap > 0:
+            return self.edge_cap
         return n_atoms_cap * self.neighbor_capacity
 
 
@@ -74,16 +77,20 @@ def build_cell_list_spec(
     density = n_atoms / vol
     cell_vol = vol / n_cells.prod()
     cap = int(np.ceil(density * cell_vol * capacity_factor)) + 2
+    expected_nbrs = 4.0 / 3.0 * np.pi * rc**3 * density
     if neighbor_capacity is None:
-        # sphere volume * density * safety
-        neighbor_capacity = int(
-            np.ceil(4.0 / 3.0 * np.pi * rc**3 * density * capacity_factor)
-        ) + 4
+        # sphere volume * density * safety (per-atom worst case)
+        neighbor_capacity = int(np.ceil(expected_nbrs * capacity_factor)) + 4
+    # compacted edge capacity: average neighbor count * modest safety
+    edge_cap = int(np.ceil(n_atoms * expected_nbrs * 1.25)) + 64
+    edge_cap = min(edge_cap, n_atoms * int(neighbor_capacity))
+    edge_cap = -(-edge_cap // 256) * 256
     return CellListSpec(
         n_cells=tuple(int(x) for x in n_cells),
         cell_capacity=cap,
         neighbor_capacity=int(neighbor_capacity),
         cutoff=rc,
+        edge_cap=edge_cap,
     )
 
 
@@ -173,8 +180,21 @@ def rebuild_neighbors(spec: CellListSpec, positions, cell, atom_mask):
     edge_dst = jnp.repeat(jnp.arange(n, dtype=jnp.int32), K)
     edge_shift = shift_slots.reshape(-1, 3)
     edge_mask = valid_slots.reshape(-1)
-    # invalid slots keep their row-owner dst (edge_dst stays sorted); their
-    # messages are exactly zero via the edge mask. Clamp src for safe gathers.
     edge_src = jnp.where(edge_mask, edge_src, 0)
     overflow = cell_overflow | neighbor_overflow
+
+    # compact the N*K slot grid down to edge_cap entries: stable sort by
+    # validity keeps the dst-sorted order of the real edges; padding tail
+    # points at the last atom so edge_dst stays sorted
+    e_cap = spec.edge_capacity(n)
+    if e_cap < n * K:
+        order = jnp.argsort(~edge_mask, stable=True)[:e_cap]
+        edge_src = edge_src[order]
+        edge_dst = edge_dst[order]
+        edge_shift = edge_shift[order]
+        new_mask = edge_mask[order]
+        overflow = overflow | (jnp.sum(edge_mask) > e_cap)
+        edge_mask = new_mask
+        edge_dst = jnp.where(edge_mask, edge_dst, n - 1)
+        edge_src = jnp.where(edge_mask, edge_src, 0)
     return edge_src, edge_dst, edge_shift, edge_mask, overflow, pos_w

@@ -130,6 +130,10 @@ class ModelSpec:
     # fused-TP accelerators the torch reference plugs in, cue/flash/oeq)
     remat_layers: bool = True
     edge_chunk: int = 0  # 0 = no chunking
+    # dense-neighbor convolution: edge arrays are exactly (N_cap, K) row-major
+    # by receiver (the MD cell-list layout); the scatter becomes a reduction
+    # over K — ~3x faster than the flat gather/segment-sum path on TPU
+    edge_dense_k: int = 0  # 0 = flat edge list
 
     @property
     def irreps_out_per_layer(self):
@@ -368,6 +372,7 @@ def build_model_spec(config: Dict[str, Any]) -> ModelSpec:
         modal_linears=tuple(modal_linears),
         remat_layers=bool(cfg.get("_remat", True)),
         edge_chunk=int(cfg.get("_edge_chunk", 0)),
+        edge_dense_k=int(cfg.get("_edge_dense_k", 0)),
     )
 
 

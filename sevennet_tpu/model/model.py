@@ -67,6 +67,58 @@ def model_init(key, spec: ModelSpec, dtype=jnp.float32) -> Dict[str, Any]:
     return params
 
 
+def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src, n_atoms):
+    """Dense-neighbor convolution: edge arrays are (N*K,) row-major by
+    receiver. The scatter is a sum over the K axis fused into the
+    tensor-product contraction — no segment_sum, no (E, dim_mid) buffer.
+    """
+    from ..so3.wigner import real_wigner_3j
+
+    K = spec.edge_dense_k
+    conv = layer.conv
+    w = scalar_mlp_apply(layer.radial_mlp, conv_params["weight_nn"], edge_emb)
+    w_nk = w.reshape(n_atoms, K, -1)
+    sh_nk = sh.reshape(n_atoms, K, -1)
+    xg = x[edge_src].reshape(n_atoms, K, -1)
+
+    xs = conv.irreps_x.slices()
+    fs = conv.irreps_filter.slices()
+    out = [None] * len(conv.irreps_mid)
+    w_off = 0
+    for i, j, k, pw in conv.instructions:
+        mi_x = conv.irreps_x[i]
+        mi_f = conv.irreps_filter[j]
+        mi_o = conv.irreps_mid[k]
+        w3j = jnp.asarray(
+            real_wigner_3j(mi_x.ir.l, mi_f.ir.l, mi_o.ir.l), dtype=x.dtype
+        )
+        xb = xg[:, :, xs[i]].reshape(n_atoms, K, mi_x.ir.dim, mi_x.mul)
+        fb = sh_nk[:, :, fs[j]]
+        wb = w_nk[:, :, w_off : w_off + mi_x.mul]
+        w_off += mi_x.mul
+        tmp = jnp.einsum("mnp,akn->akmp", w3j, fb)
+        xw = xb * (pw * wb)[:, :, None, :]
+        msg = jnp.einsum("akmp,akmu->apu", tmp, xw)  # contract m AND K
+        out[k] = msg if out[k] is None else out[k] + msg
+
+    pieces = []
+    kk = 0
+    nb = len(conv.irreps_mid)
+    while kk < nb:
+        ir = conv.irreps_mid[kk].ir
+        group = []
+        while kk < nb and conv.irreps_mid[kk].ir == ir:
+            mi = conv.irreps_mid[kk]
+            blk = out[kk]
+            if blk is None:
+                blk = jnp.zeros((n_atoms, mi.ir.dim, mi.mul), dtype=x.dtype)
+            group.append(blk)
+            kk += 1
+        joined = group[0] if len(group) == 1 else jnp.concatenate(group, axis=-1)
+        pieces.append(joined.reshape(n_atoms, -1))
+    return jnp.concatenate(pieces, axis=-1)
+
+
 def _convolve(spec, layer, conv_params, x, edge_emb, sh, edge_src, edge_dst, n_atoms):
     """Radial-MLP-weighted uvu TP + scatter into nodes.
 
@@ -74,6 +126,15 @@ def _convolve(spec, layer, conv_params, x, edge_emb, sh, edge_src, edge_dst, n_a
     (lax.scan) so the per-edge message buffer is bounded — the HBM-frugal
     path for large systems on a 16 GB chip.
     """
+
+    if spec.edge_dense_k > 0:
+        assert edge_emb.shape[0] == n_atoms * spec.edge_dense_k, (
+            "dense conv requires edges in (N_cap, K) row-major-by-receiver "
+            "layout (the MD cell-list layout)"
+        )
+        return _convolve_dense(
+            spec, layer, conv_params, x, edge_emb, sh, edge_src, n_atoms
+        )
 
     def block(emb_c, sh_c, src_c, dst_c, sorted_dst):
         w = scalar_mlp_apply(layer.radial_mlp, conv_params["weight_nn"], emb_c)

@@ -102,3 +102,39 @@ def test_nan_labels_masked(frames):
     assert np.isfinite(float(total))
     assert float(losses["energy"]) == 0.0  # all unlabeled -> masked to zero
     assert float(losses["force"]) == 0.0
+
+
+def test_outcar_reader():
+    import os
+
+    path = "/root/reference/example_inputs/data/label_1/OUTCAR_1"
+    if not os.path.exists(path):
+        pytest.skip("reference OUTCAR not available")
+    from sevennet_tpu.data.vasp import read_outcar
+
+    frames = read_outcar(path)
+    assert len(frames) >= 1
+    f = frames[-1]
+    assert len(f) == 96
+    assert sorted(set(f.symbols)) == ["Hf", "O"]
+    assert f.energy is not None and f.energy < 0
+    assert f.forces.shape == (96, 3)
+    assert f.stress.shape == (6,)
+    assert abs(np.linalg.det(f.cell)) > 100
+
+
+def test_structure_list_reader(tmp_path):
+    import os
+
+    base = "/root/reference/example_inputs/data"
+    if not os.path.exists(base):
+        pytest.skip("reference example data not available")
+    sl = tmp_path / "structure_list"
+    sl.write_text(
+        f"[train]\n{base}/label_1/OUTCAR_1 :\n[valid]\n{base}/label_2/OUTCAR_6 0\n"
+    )
+    from sevennet_tpu.data.vasp import read_structure_list
+
+    groups = read_structure_list(str(sl))
+    assert set(groups) == {"train", "valid"}
+    assert len(groups["train"]) >= 1 and len(groups["valid"]) == 1

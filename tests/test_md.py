@@ -1,0 +1,140 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sevennet_tpu.data import neighbor_list_numpy
+from sevennet_tpu.md.neighbor import build_cell_list_spec, rebuild_neighbors
+
+
+def _edge_set(dst, src, S, mask=None):
+    dst, src, S = np.asarray(dst), np.asarray(src), np.asarray(S)
+    if mask is not None:
+        m = np.asarray(mask)
+        dst, src, S = dst[m], src[m], S[m]
+    return set(zip(dst.tolist(), src.tolist(),
+                   *[S[:, i].astype(int).tolist() for i in range(3)]))
+
+
+@pytest.mark.parametrize("box,n", [(12.0, 40), (9.0, 25)])
+def test_cell_list_matches_host_nl(box, n):
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, box, (n, 3))
+    cell = np.eye(3) * box
+    cutoff = 3.5
+    spec = build_cell_list_spec(cell, n, cutoff, skin=0.0)
+    src, dst, S, mask, overflow, pos_w = rebuild_neighbors(
+        spec, jnp.asarray(pos, jnp.float32), jnp.asarray(cell, jnp.float32),
+        jnp.ones(n, bool),
+    )
+    assert not bool(overflow)
+    got = _edge_set(dst, src, S, mask)
+    hdst, hsrc, hS = neighbor_list_numpy(pos, cutoff, cell, True)
+    expect = _edge_set(hdst, hsrc, hS)
+    assert got == expect
+
+
+def test_cell_list_triclinic():
+    rng = np.random.default_rng(1)
+    cell = np.array([[10.0, 0, 0], [1.5, 9.0, 0], [-0.8, 0.6, 9.5]])
+    n = 30
+    frac = rng.uniform(0, 1, (n, 3))
+    pos = frac @ cell
+    cutoff = 3.0
+    spec = build_cell_list_spec(cell, n, cutoff, skin=0.0)
+    src, dst, S, mask, overflow, _ = rebuild_neighbors(
+        spec, jnp.asarray(pos, jnp.float32), jnp.asarray(cell, jnp.float32),
+        jnp.ones(n, bool),
+    )
+    assert not bool(overflow)
+    assert _edge_set(dst, src, S, mask) == _edge_set(
+        *neighbor_list_numpy(pos, cutoff, cell, True)
+    )
+
+
+def test_cell_list_edge_dst_sorted():
+    rng = np.random.default_rng(2)
+    pos = rng.uniform(0, 10, (20, 3))
+    cell = np.eye(3) * 10
+    spec = build_cell_list_spec(cell, 20, 3.0, skin=0.5)
+    src, dst, S, mask, overflow, _ = rebuild_neighbors(
+        spec, jnp.asarray(pos, jnp.float32), jnp.asarray(cell, jnp.float32),
+        jnp.ones(20, bool),
+    )
+    d = np.asarray(dst)
+    assert (np.diff(d) >= 0).all()
+
+
+def test_overflow_flag():
+    # tiny capacities must raise the overflow flag, not crash
+    from sevennet_tpu.md.neighbor import CellListSpec
+
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0, 8, (30, 3))
+    cell = np.eye(3) * 8
+    spec = CellListSpec(n_cells=(2, 2, 2), cell_capacity=2, neighbor_capacity=3,
+                        cutoff=3.5, edge_cap=32)
+    *_, overflow, _ = rebuild_neighbors(
+        spec, jnp.asarray(pos, jnp.float32), jnp.asarray(cell, jnp.float32),
+        jnp.ones(30, bool),
+    )
+    assert bool(overflow)
+
+
+@pytest.mark.slow
+def test_nve_energy_conservation(small_spec_params=None):
+    """Short NVE with the reference checkpoint on CPU: total energy drift
+    small and decreasing with dt."""
+    from sevennet_tpu.io import load_sevennet_checkpoint
+    from sevennet_tpu.md import MDEngine
+
+    spec, params = load_sevennet_checkpoint(
+        "/root/reference/tests/data/checkpoints/cp_0.pth"
+    )
+    rng = np.random.default_rng(0)
+    a = 9.6
+    cell = np.eye(3) * a
+    pts = [((np.array([i, j, k]) + 0.5) / 3) * a
+           for i in range(3) for j in range(3) for k in range(3)]
+    pos = np.asarray(pts) + rng.normal(scale=0.05, size=(27, 3))
+    Z = np.array([72] * 9 + [8] * 18)
+    engine = MDEngine(spec, params, cell)
+    state = engine.make_state(pos, Z, temperature=300.0, seed=1)
+    e0 = float(state.potential_energy) + float(state.kinetic_energy())
+    state, (pe, ke) = engine.run(state, 30, dt=0.5, integrator="nve")
+    et = np.asarray(pe) + np.asarray(ke)
+    drift = abs(float(et[-1]) - e0)
+    assert drift < 5e-3, drift  # eV over 15 fs, 27 atoms (fp32)
+    # langevin stays finite and near target temperature
+    state2 = engine.make_state(pos, Z, temperature=300.0, seed=2)
+    state2, _ = engine.run(state2, 20, dt=1.0, integrator="langevin",
+                           temperature=300.0, friction=0.05)
+    assert np.isfinite(np.asarray(state2.positions)).all()
+    assert 50 < float(state2.temperature()) < 900
+
+
+def test_dense_conv_matches_flat():
+    """MD dense-neighbor conv path == flat edge-list path (same checkpoint)."""
+    import dataclasses
+
+    from sevennet_tpu.io import load_sevennet_checkpoint
+    from sevennet_tpu.md import MDEngine
+
+    spec, params = load_sevennet_checkpoint(
+        "/root/reference/tests/data/checkpoints/cp_0.pth"
+    )
+    rng = np.random.default_rng(4)
+    a = 9.6
+    cell = np.eye(3) * a
+    pos = rng.uniform(0, a, (24, 3))
+    Z = np.array([72] * 8 + [8] * 16)
+
+    e_dense = MDEngine(spec, params, cell, dense=True)
+    s_dense = e_dense.make_state(pos, Z)
+    e_flat = MDEngine(spec, params, cell, dense=False)
+    s_flat = e_flat.make_state(pos, Z)
+
+    assert abs(float(s_dense.potential_energy) - float(s_flat.potential_energy)) < 1e-4
+    f1 = np.asarray(s_dense.forces)
+    f2 = np.asarray(s_flat.forces)
+    assert np.abs(f1 - f2).max() < 1e-4
