@@ -91,15 +91,21 @@ def main():
     engine = MDEngine(
         spec, params, cell, matmul_precision=os.environ.get("BENCH_PRECISION", "default")
     )
-    state = engine.make_state(pos, Z, temperature=300.0)
+    import sys
 
-    # warmup (compile)
-    state, _ = engine.run(state, 2, dt=DT_FS, integrator="nve")
-    jax.block_until_ready(state.positions)
+    chunk = int(os.environ.get("BENCH_CHUNK", 20))
+    print(f"# building state ({len(Z)} atoms)...", file=sys.stderr, flush=True)
+    state = engine.make_state(pos, Z, temperature=300.0)
+    print("# state ready; compiling+warmup...", file=sys.stderr, flush=True)
+
+    # warmup with the SAME chunk length as the timed run: one scan compile
+    state, _ = engine.run(state, chunk, dt=DT_FS, integrator="nve", chunk=chunk)
+    float(state.potential_energy)  # force completion through the tunnel
+    print("# warmed up; timing...", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
-    state, _ = engine.run(state, N_STEPS, dt=DT_FS, integrator="nve")
-    jax.block_until_ready(state.positions)
+    state, _ = engine.run(state, N_STEPS, dt=DT_FS, integrator="nve", chunk=chunk)
+    float(state.potential_energy)
     elapsed = time.perf_counter() - t0
 
     steps_per_s = N_STEPS / elapsed

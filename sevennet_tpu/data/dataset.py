@@ -37,6 +37,9 @@ def atoms_to_graph(at: AtomsLite, cutoff: float, z_to_type: np.ndarray, modal: i
         bad = sorted(set(int(z) for z in at.numbers[species < 0]))
         raise ValueError(f"unknown species {bad} for this model")
     dst, src, shifts = neighbor_list_numpy(at.positions, cutoff, at.cell, at.pbc)
+    dw = at.info.get("data_weight", {}) if at.info else {}
+    if isinstance(dw, (int, float)):
+        dw = {"energy": dw, "force": dw, "stress": dw}
     return graph_from_arrays(
         at.positions,
         species,
@@ -48,6 +51,11 @@ def atoms_to_graph(at: AtomsLite, cutoff: float, z_to_type: np.ndarray, modal: i
         forces=at.forces,
         stress=at.stress,
         modal=modal,
+        data_weight=(
+            float(dw.get("energy", 1.0)),
+            float(dw.get("force", 1.0)),
+            float(dw.get("stress", 1.0)),
+        ),
     )
 
 

@@ -52,6 +52,8 @@ class GraphBatch:
     stress: Optional[jnp.ndarray] = None  # (G, 6) eV/A^3, voigt (xx,yy,zz,xy,yz,zx)
     # optional multi-fidelity modality index per graph
     modal: Optional[jnp.ndarray] = None  # (G,) int32
+    # optional per-structure loss weights (reference loss.py:115-120)
+    data_weight: Optional[jnp.ndarray] = None  # (G, 3): energy/force/stress
 
     @property
     def n_atoms_cap(self) -> int:
@@ -86,6 +88,7 @@ def graph_from_arrays(
     forces: Optional[np.ndarray] = None,
     stress: Optional[np.ndarray] = None,
     modal: int = 0,
+    data_weight=(1.0, 1.0, 1.0),
     dtype=np.float32,
 ) -> GraphBatch:
     """Single unpadded graph (host-side numpy). Species are type indices."""
@@ -124,6 +127,7 @@ def graph_from_arrays(
         forces=jnp.asarray(forces, dtype),
         stress=jnp.asarray(stress, dtype)[None],
         modal=jnp.asarray([modal], jnp.int32),
+        data_weight=jnp.asarray([list(data_weight)], dtype),
     )
 
 
@@ -156,6 +160,7 @@ def batch_graphs(
     pos, spec, bat, f = [], [], [], []
     esrc, edst, eshift = [], [], []
     cells, vols, natoms, energies, stresses, modals = [], [], [], [], [], []
+    weights = []
     a_off = 0
     for gi, g in enumerate(gs):
         n = g["positions"].shape[0]
@@ -172,6 +177,9 @@ def batch_graphs(
         energies.append(g["energy"][0])
         stresses.append(g["stress"][0])
         modals.append(g["modal"][0] if g.get("modal") is not None else 0)
+        weights.append(
+            g["data_weight"][0] if g.get("data_weight") is not None else [1.0] * 3
+        )
         a_off += n
 
     cat = lambda xs: np.concatenate(xs, axis=0) if xs else np.zeros((0,))
@@ -192,6 +200,7 @@ def batch_graphs(
     energy = _pad_to(np.asarray(energies, dtype), g_cap, fill=np.nan)
     stress = _pad_to(np.stack(stresses).astype(dtype), g_cap, fill=np.nan)
     modal = _pad_to(np.asarray(modals, np.int32), g_cap)
+    data_weight = _pad_to(np.asarray(weights, dtype), g_cap, fill=1.0)
 
     return GraphBatch(
         positions=jnp.asarray(positions),
@@ -210,6 +219,7 @@ def batch_graphs(
         forces=jnp.asarray(forces),
         stress=jnp.asarray(stress),
         modal=jnp.asarray(modal),
+        data_weight=jnp.asarray(data_weight),
     )
 
 
@@ -217,7 +227,8 @@ def jnp_to_np(g: GraphBatch) -> dict:
     out = {}
     for k in (
         "positions species atom_mask batch edge_src edge_dst edge_shift "
-        "edge_mask cell volume num_atoms graph_mask energy forces stress modal"
+        "edge_mask cell volume num_atoms graph_mask energy forces stress "
+        "modal data_weight"
     ).split():
         v = getattr(g, k)
         out[k] = None if v is None else np.asarray(v)

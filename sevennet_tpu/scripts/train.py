@@ -113,6 +113,7 @@ def train_run(
         force_weight=float(train_cfg.get("force_loss_weight", 0.1)),
         stress_weight=float(train_cfg.get("stress_loss_weight", 1e-6)),
         train_stress=bool(train_cfg.get("is_train_stress", True)),
+        use_weight=bool(train_cfg.get("use_weight", False)),
     )
     tcfg = TrainerConfig(
         loss=loss_cfg,

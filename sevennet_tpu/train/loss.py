@@ -35,6 +35,7 @@ class LossConfig:
     force_weight: float = 0.1
     stress_weight: float = 1e-6
     train_stress: bool = True
+    use_weight: bool = False  # per-structure data weights (GraphBatch.data_weight)
 
 
 def _criterion(cfg: LossConfig, pred, ref):
@@ -48,9 +49,13 @@ def _criterion(cfg: LossConfig, pred, ref):
     raise ValueError(cfg.criterion)
 
 
-def _masked_mean(x, mask):
+def _masked_mean(x, mask, weight=None):
+    """Mean over masked entries; optional per-entry weights multiply the
+    numerator only (reference semantics: ``mean(criterion * w)``,
+    loss.py:79-80)."""
     denom = jnp.maximum(jnp.sum(mask), 1.0)
-    return jnp.sum(x * mask) / denom
+    num = x * mask if weight is None else x * mask * weight
+    return jnp.sum(num) / denom
 
 
 def compute_losses(
@@ -60,24 +65,31 @@ def compute_losses(
     losses: Dict[str, jnp.ndarray] = {}
     dtype = out["energy"].dtype
 
+    if cfg.use_weight and graph.data_weight is not None:
+        w_e = graph.data_weight[:, 0]
+        w_f = graph.data_weight[:, 1][graph.batch]
+        w_s = graph.data_weight[:, 2]
+    else:
+        w_e = w_f = w_s = None
+
     # energy, per atom
     e_ref = graph.energy
     n_at = jnp.maximum(graph.num_atoms.astype(dtype), 1.0)
-    e_mask = graph.graph_mask & ~jnp.isnan(e_ref)
-    e_ref_safe = jnp.where(e_mask, e_ref, 0.0)
+    e_mask = (graph.graph_mask & ~jnp.isnan(e_ref)).astype(dtype)
+    e_ref_safe = jnp.where(e_mask > 0, e_ref, 0.0)
     e_loss = _masked_mean(
-        _criterion(cfg, out["energy"] / n_at, e_ref_safe / n_at),
-        e_mask.astype(dtype),
+        _criterion(cfg, out["energy"] / n_at, e_ref_safe / n_at), e_mask, w_e
     )
     losses["energy"] = e_loss
 
     # forces, per component
     f_ref = graph.forces
-    f_mask = graph.atom_mask[:, None] & ~jnp.isnan(f_ref)
-    f_ref_safe = jnp.where(f_mask, f_ref, 0.0)
-    f_pred_safe = jnp.where(f_mask, out["forces"], 0.0)
+    f_mask = (graph.atom_mask[:, None] & ~jnp.isnan(f_ref)).astype(dtype)
+    f_ref_safe = jnp.where(f_mask > 0, f_ref, 0.0)
+    f_pred_safe = jnp.where(f_mask > 0, out["forces"], 0.0)
     f_loss = _masked_mean(
-        _criterion(cfg, f_pred_safe, f_ref_safe), f_mask.astype(dtype)
+        _criterion(cfg, f_pred_safe, f_ref_safe), f_mask,
+        None if w_f is None else w_f[:, None],
     )
     losses["force"] = f_loss
 
@@ -85,11 +97,12 @@ def compute_losses(
 
     if cfg.train_stress and "stress" in out:
         s_ref = graph.stress
-        s_mask = graph.graph_mask[:, None] & ~jnp.isnan(s_ref)
-        s_ref_safe = jnp.where(s_mask, s_ref, 0.0) * TO_KBAR
-        s_pred_safe = jnp.where(s_mask, out["stress"], 0.0) * TO_KBAR
+        s_mask = (graph.graph_mask[:, None] & ~jnp.isnan(s_ref)).astype(dtype)
+        s_ref_safe = jnp.where(s_mask > 0, s_ref, 0.0) * TO_KBAR
+        s_pred_safe = jnp.where(s_mask > 0, out["stress"], 0.0) * TO_KBAR
         s_loss = _masked_mean(
-            _criterion(cfg, s_pred_safe, s_ref_safe), s_mask.astype(dtype)
+            _criterion(cfg, s_pred_safe, s_ref_safe), s_mask,
+            None if w_s is None else w_s[:, None],
         )
         losses["stress"] = s_loss
         total = total + cfg.stress_weight * s_loss
