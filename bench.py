@@ -32,7 +32,11 @@ from sevennet_tpu.md import MDEngine
 
 N_ATOMS = int(os.environ.get("BENCH_ATOMS", 3000))
 N_STEPS = int(os.environ.get("BENCH_STEPS", 20))
-DT_FS = 2.0
+DT_FS = 2.0  # production timestep used for the ns/day conversion
+# integration dt during the benchmark: tiny, so the (randomly initialized)
+# model's unphysical forces cannot blow up the neighbor list — the per-step
+# COST is dt-independent
+BENCH_DT = float(os.environ.get("BENCH_DT", 0.01))
 BASELINE_NS_DAY = 2.0  # assumed A100 GPU-LAMMPS, SevenNet-0, this size
 
 
@@ -99,12 +103,12 @@ def main():
     print("# state ready; compiling+warmup...", file=sys.stderr, flush=True)
 
     # warmup with the SAME chunk length as the timed run: one scan compile
-    state, _ = engine.run(state, chunk, dt=DT_FS, integrator="nve", chunk=chunk)
+    state, _ = engine.run(state, chunk, dt=BENCH_DT, integrator="nve", chunk=chunk)
     float(state.potential_energy)  # force completion through the tunnel
     print("# warmed up; timing...", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
-    state, _ = engine.run(state, N_STEPS, dt=DT_FS, integrator="nve", chunk=chunk)
+    state, _ = engine.run(state, N_STEPS, dt=BENCH_DT, integrator="nve", chunk=chunk)
     float(state.potential_energy)
     elapsed = time.perf_counter() - t0
 

@@ -150,6 +150,7 @@ def train_run(
         log.timer_end("epoch", f"epoch {epoch} time")
 
         crit = key_metrics.get("loss_total", np.inf)
+        trainer.plateau_step(crit)
         from ..io.native_checkpoint import save_checkpoint
 
         if crit < best:

@@ -66,6 +66,16 @@ class Trainer:
         self.spec = spec
         self.config = config or TrainerConfig()
         self.mesh = mesh  # 1-D mesh with axis 'dp', or None for single device
+        # ReduceLROnPlateau is metric-driven: an injected lr scale lives in
+        # the optimizer STATE and is set host-side between epochs (the
+        # reference calls scheduler.step(metric), trainer.py:177-184)
+        self._plateau = self.config.scheduler.lower() == "reducelronplateau"
+        self._plateau_best = float("inf")
+        self._plateau_bad = 0
+        p = self.config.scheduler_param
+        self._plateau_factor = float(p.get("factor", 0.5))
+        self._plateau_patience = int(p.get("patience", 10))
+        self._plateau_scale = 1.0
         sched = build_schedule(
             self.config.scheduler, self.config.lr, self.config.scheduler_param
         )
@@ -77,6 +87,11 @@ class Trainer:
             spec=spec,
             params=params,
         )
+        if self._plateau:
+            self.optimizer = optax.chain(
+                self.optimizer,
+                optax.inject_hyperparams(optax.scale)(step_size=1.0),
+            )
         self.state = TrainState(
             params=params,
             opt_state=self.optimizer.init(params),
@@ -167,6 +182,26 @@ class Trainer:
         if self._eval_step is None:
             self._eval_step = self._make_eval_step()
         return self._eval_step(self.state.params, graph)
+
+    def plateau_step(self, metric: float):
+        """Reduce the injected lr scale when ``metric`` stops improving."""
+        if not self._plateau:
+            return
+        if metric < self._plateau_best - 1e-12:
+            self._plateau_best = metric
+            self._plateau_bad = 0
+            return
+        self._plateau_bad += 1
+        if self._plateau_bad > self._plateau_patience:
+            self._plateau_bad = 0
+            self._plateau_scale *= self._plateau_factor
+            from optax import tree_utils as otu
+
+            self.state = self.state.replace(
+                opt_state=otu.tree_set(
+                    self.state.opt_state, step_size=self._plateau_scale
+                )
+            )
 
     def run_epoch(self, loader, train: bool = True) -> Dict[str, float]:
         """loader yields GraphBatch (or device-stacked GraphBatch when a mesh

@@ -91,3 +91,27 @@ def test_modal_batch_consistency(modal_model):
     out = compute(spec, params, big)
     assert abs(float(out["energy"][0]) - singles[0]) < 1e-4
     assert abs(float(out["energy"][1]) - singles[1]) < 1e-4
+
+
+def test_append_modality(modal_model):
+    """Appending a modality preserves predictions for existing modalities."""
+    from sevennet_tpu.scripts.modal_tools import append_modality
+
+    spec, params = modal_model
+    rng = np.random.default_rng(2)
+    pos = rng.uniform(0, 6, (8, 3))
+    Z = rng.choice([72, 8], 8)
+    gb = build_graph(spec, pos, Z, np.eye(3) * 6.0)
+    e_before = float(compute(spec, params, gb)["energy"][0])
+
+    cfg2, params2 = append_modality(dict(MODAL_CONFIG), params, "r2scan", copy_from=1)
+    spec2 = build_model_spec(cfg2)
+    assert spec2.num_modalities == 3
+    e_after = float(compute(spec2, params2, gb)["energy"][0])
+    assert abs(e_before - e_after) < 1e-5
+    # new modality initialized from modality 1
+    gb1 = gb.replace(modal=gb.modal + 1)
+    gb2 = gb.replace(modal=gb.modal + 2)
+    e1 = float(compute(spec2, params2, gb1)["energy"][0])
+    e2 = float(compute(spec2, params2, gb2)["energy"][0])
+    assert abs(e1 - e2) < 1e-5

@@ -142,3 +142,28 @@ def test_loss_config_huber():
     out = np.asarray(_criterion(cfg, pred, ref))
     assert abs(out[0] - 0.5 * 0.01) < 1e-7  # quadratic region
     assert abs(out[1] - 0.5 * (1.0 - 0.25)) < 1e-7  # linear region
+
+
+def test_plateau_scheduler_reduces_lr():
+    import jax
+
+    from sevennet_tpu.model import build_model_spec
+    from sevennet_tpu.model.model import model_init
+    from sevennet_tpu.train import Trainer, TrainerConfig
+
+    cfg = {"cutoff": 4.0, "channel": 4, "lmax": 1, "num_convolution_layer": 2,
+           "chemical_species": ["H", "O"], "conv_denominator": 5.0}
+    spec = build_model_spec(cfg)
+    params = model_init(jax.random.PRNGKey(0), spec)
+    trainer = Trainer(
+        spec, params,
+        TrainerConfig(scheduler="reducelronplateau",
+                      scheduler_param={"factor": 0.5, "patience": 1}),
+    )
+    from optax import tree_utils as otu
+
+    assert float(otu.tree_get(trainer.state.opt_state, "step_size")) == 1.0
+    trainer.plateau_step(1.0)   # best
+    trainer.plateau_step(1.0)   # bad 1
+    trainer.plateau_step(1.0)   # bad 2 -> reduce
+    assert abs(float(otu.tree_get(trainer.state.opt_state, "step_size")) - 0.5) < 1e-9
