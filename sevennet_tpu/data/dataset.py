@@ -176,18 +176,36 @@ class GraphDataset:
         seed: int = 0,
         pad_multiple: int = 64,
         drop_last: bool = False,
+        lazy: bool = False,
     ) -> Iterator[GraphBatch]:
         """Yield padded batches. Capacities are rounded up to multiples so
-        similar batches share compiled programs."""
-        assert self.graphs, "call build() first"
-        idx = np.arange(len(self.graphs))
+        similar batches share compiled programs. With ``lazy=True``, graphs
+        are built on the fly per batch (the reference's memory-light
+        ``SevenNetAtomsDataset``, ``train/atoms_dataset.py:27-112``) —
+        ``build()`` is not required."""
+        if lazy:
+            n_items = len(self.atoms_list)
+        else:
+            assert self.graphs, "call build() first (or use lazy=True)"
+            n_items = len(self.graphs)
+        idx = np.arange(n_items)
         if shuffle:
             np.random.default_rng(seed).shuffle(idx)
         rup = lambda n: int(math.ceil(max(n, 1) / pad_multiple)) * pad_multiple
         for i in range(0, len(idx), batch_size):
-            chunk = [self.graphs[j] for j in idx[i : i + batch_size]]
-            if drop_last and len(chunk) < batch_size:
+            sel = idx[i : i + batch_size]
+            if drop_last and len(sel) < batch_size:
                 continue
+            if lazy:
+                assert self.z_to_type is not None
+                chunk = [
+                    atoms_to_graph(
+                        self.atoms_list[j], self.cutoff, self.z_to_type, self.modal
+                    )
+                    for j in sel
+                ]
+            else:
+                chunk = [self.graphs[j] for j in sel]
             n_at = sum(int(g.positions.shape[0]) for g in chunk)
             n_ed = sum(int(g.edge_src.shape[0]) for g in chunk)
             yield batch_graphs(
@@ -196,6 +214,58 @@ class GraphDataset:
                 n_edges_cap=rup(n_ed + 1),
                 n_graphs_cap=batch_size + 1,
             )
+
+    # -- disk cache (the reference caches processed graphs + stats yaml,
+    #    graph_dataset.py:133-549) ---------------------------------------------
+    def save_cache(self, path: str):
+        """Serialize built graphs + statistics to ``{path}.npz``/``.json``."""
+        import json
+
+        assert self.graphs, "call build() first"
+        arrays = {}
+        for i, g in enumerate(self.graphs):
+            for key in ("positions", "species", "edge_src", "edge_dst",
+                        "edge_shift", "energy", "forces", "stress", "modal",
+                        "data_weight", "cell"):
+                arrays[f"g{i}_{key}"] = np.asarray(getattr(g, key))
+        np.savez_compressed(path + ".npz", n=len(self.graphs), **arrays)
+        with open(path + ".json", "w") as f:
+            json.dump({"cutoff": self.cutoff, "statistics": self.statistics}, f)
+
+    @staticmethod
+    def load_cache(path: str) -> "GraphDataset":
+        import json
+
+        from .graph import GraphBatch
+        import jax.numpy as jnp
+
+        z = np.load(path + ".npz")
+        with open(path + ".json") as f:
+            meta = json.load(f)
+        n = int(z["n"])
+        graphs = []
+        for i in range(n):
+            g = z[f"g{i}_positions"]
+            graphs.append(
+                # reconstruct through graph_from_arrays for masks/caps
+                graph_from_arrays(
+                    z[f"g{i}_positions"],
+                    z[f"g{i}_species"],
+                    z[f"g{i}_edge_src"],
+                    z[f"g{i}_edge_dst"],
+                    z[f"g{i}_edge_shift"],
+                    z[f"g{i}_cell"][0],
+                    energy=float(z[f"g{i}_energy"][0]),
+                    forces=z[f"g{i}_forces"],
+                    stress=z[f"g{i}_stress"][0],
+                    modal=int(z[f"g{i}_modal"][0]),
+                    data_weight=tuple(z[f"g{i}_data_weight"][0].tolist()),
+                )
+            )
+        ds = GraphDataset([], meta["cutoff"])
+        ds.graphs = graphs
+        ds._stats = meta["statistics"]
+        return ds
 
     def split(self, ratio: float, seed: int = 0):
         idx = np.arange(len(self.atoms_list))

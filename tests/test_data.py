@@ -138,3 +138,37 @@ def test_structure_list_reader(tmp_path):
     groups = read_structure_list(str(sl))
     assert set(groups) == {"train", "valid"}
     assert len(groups["train"]) >= 1 and len(groups["valid"]) == 1
+
+
+def test_dataset_cache_roundtrip(frames, tmp_path):
+    from sevennet_tpu.model.build import symbols_to_type_map
+
+    tm = symbols_to_type_map(["H", "O"])
+    z2t = -np.ones(120, np.int32)
+    for z, t in tm.items():
+        z2t[z] = t
+    ds = GraphDataset(frames, cutoff=4.0).build(z2t)
+    _ = ds.statistics
+    path = str(tmp_path / "cache")
+    ds.save_cache(path)
+    ds2 = GraphDataset.load_cache(path)
+    assert len(ds2.graphs) == len(ds.graphs)
+    assert abs(ds2.statistics["force_rms"] - ds.statistics["force_rms"]) < 1e-9
+    b1 = next(ds.batches(3))
+    b2 = next(ds2.batches(3))
+    assert np.allclose(np.asarray(b1.positions), np.asarray(b2.positions))
+    assert np.allclose(np.asarray(b1.energy), np.asarray(b2.energy), equal_nan=True)
+
+
+def test_lazy_batches(frames):
+    from sevennet_tpu.model.build import symbols_to_type_map
+
+    tm = symbols_to_type_map(["H", "O"])
+    z2t = -np.ones(120, np.int32)
+    for z, t in tm.items():
+        z2t[z] = t
+    ds_eager = GraphDataset(frames, cutoff=4.0).build(z2t)
+    ds_lazy = GraphDataset(frames, cutoff=4.0, z_to_type=z2t)
+    for b1, b2 in zip(ds_eager.batches(3), ds_lazy.batches(3, lazy=True)):
+        assert np.allclose(np.asarray(b1.positions), np.asarray(b2.positions))
+        assert (np.asarray(b1.edge_src) == np.asarray(b2.edge_src)).all()
