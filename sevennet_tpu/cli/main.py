@@ -71,6 +71,128 @@ data:
     batch_size: 8
     load_trainset_path: ['./train.extxyz']
 """,
+    "sevennet-0": """# SevenNet-0 architecture (reference presets/sevennet-0.yaml)
+model:
+    chemical_species: 'auto'
+    cutoff: 5.0
+    channel: 128
+    is_parity: False
+    lmax: 2
+    num_convolution_layer: 5
+    irreps_manual:
+        - "128x0e"
+        - "128x0e+64x1e+32x2e"
+        - "128x0e+64x1e+32x2e"
+        - "128x0e+64x1e+32x2e"
+        - "128x0e+64x1e+32x2e"
+        - "128x0e"
+    weight_nn_hidden_neurons: [64, 64]
+    radial_basis:
+        radial_basis_name: 'bessel'
+        bessel_basis_num: 8
+    cutoff_function:
+        cutoff_function_name: 'XPLOR'
+        cutoff_on: 4.5
+    act_gate: {'e': 'silu', 'o': 'tanh'}
+    act_scalar: {'e': 'silu', 'o': 'tanh'}
+    conv_denominator: 'avg_num_neigh'
+    train_shift_scale: False
+    train_denominator: False
+    self_connection_type: 'linear'
+train:
+    random_seed: 1
+    is_train_stress: True
+    epoch: 600
+    loss: 'Huber'
+    loss_param:
+        delta: 0.01
+    optimizer: 'adam'
+    optim_param:
+        lr: 0.01
+    scheduler: 'linearlr'
+    scheduler_param:
+        start_factor: 1.0
+        total_iters: 600
+        end_factor: 0.0001
+    force_loss_weight: 1.0
+    stress_loss_weight: 0.01
+data:
+    batch_size: 16
+    scale: 'per_atom_energy_std'
+    shift: 'elemwise_reference_energies'
+    load_trainset_path: ['./train.extxyz']
+""",
+    "sevennet-l3i5": """# SevenNet-l3i5 architecture (lmax 3)
+model:
+    chemical_species: 'auto'
+    cutoff: 5.0
+    channel: 128
+    is_parity: False
+    lmax: 3
+    num_convolution_layer: 5
+    weight_nn_hidden_neurons: [64, 64]
+    radial_basis:
+        radial_basis_name: 'bessel'
+        bessel_basis_num: 8
+    cutoff_function:
+        cutoff_function_name: 'XPLOR'
+        cutoff_on: 4.5
+    conv_denominator: 'avg_num_neigh'
+    self_connection_type: 'linear'
+train:
+    epoch: 600
+    loss: 'Huber'
+    loss_param:
+        delta: 0.01
+    optimizer: 'adam'
+    optim_param:
+        lr: 0.01
+    scheduler: 'linearlr'
+    scheduler_param:
+        start_factor: 1.0
+        total_iters: 600
+        end_factor: 0.0001
+    force_loss_weight: 1.0
+    stress_loss_weight: 0.01
+data:
+    batch_size: 16
+    scale: 'per_atom_energy_std'
+    shift: 'elemwise_reference_energies'
+    load_trainset_path: ['./train.extxyz']
+""",
+    "multi_modal": """# multi-fidelity (modality) training
+model:
+    chemical_species: 'auto'
+    cutoff: 5.0
+    channel: 64
+    is_parity: False
+    lmax: 2
+    num_convolution_layer: 4
+    self_connection_type: 'linear'
+    conv_denominator: 'avg_num_neigh'
+    use_modality: True
+    num_modalities: 2
+    modal_map: {'pbe': 0, 'scan': 1}
+    use_modal_node_embedding: False
+    use_modal_self_inter_intro: True
+    use_modal_self_inter_outro: True
+    use_modal_output_block: True
+    use_modal_wise_shift: True
+    use_modal_wise_scale: False
+train:
+    epoch: 200
+    loss: 'Huber'
+    loss_param:
+        delta: 0.01
+    optimizer: 'adam'
+    optim_param:
+        lr: 0.004
+data:
+    batch_size: 8
+    shift: 'elemwise_reference_energies'
+    scale: 'force_rms'
+    load_trainset_path: ['./train_pbe.extxyz']
+""",
 }
 
 
