@@ -42,9 +42,12 @@ spec_dense = engine.spec  # has edge_dense_k set
 
 
 def timed(name, fn, *args, iters=5):
-    def loop(*args):
+    # the carry perturbs the positions so the body is NOT loop-invariant
+    # (XLA would otherwise hoist the whole model out of the scan)
+    def loop(p, g):
         def body(acc, _):
-            return acc + fn(*args), None
+            g2 = g.replace(positions=g.positions + 1e-30 * acc)
+            return acc + fn(p, g2), None
         acc, _ = jax.lax.scan(body, 0.0, None, length=iters)
         return acc
     f = jax.jit(loop)

@@ -82,8 +82,21 @@ class MDEngine:
 
         n = len(positions)
         if self.cl_spec is None:
+            # adaptive neighbor capacity: count actual neighbors once on the
+            # host and add a margin (the static-shape analogue of the
+            # reference's adaptive x1.2 edge bound, pair_e3gnn.cpp:283-288);
+            # the overflow flag + recompile policy covers later growth
+            from ..data.neighborlist import neighbor_list_numpy
+
+            dst, _, _ = neighbor_list_numpy(
+                np.asarray(positions), self.spec.cutoff + self.skin,
+                self.cell, (True, True, True),
+            )
+            max_nbrs = int(np.bincount(dst, minlength=n).max()) if len(dst) else 8
+            k_cap = int(np.ceil(max_nbrs * 1.2)) + 2
             self.cl_spec = build_cell_list_spec(
-                self.cell, n, self.spec.cutoff, self.skin
+                self.cell, n, self.spec.cutoff, self.skin,
+                neighbor_capacity=k_cap,
             )
         if self.dense:
             # dense conv consumes the full (N, K) slot grid directly
