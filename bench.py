@@ -89,6 +89,9 @@ def main():
             "conv_denominator": 35.0,
             "chemical_species": ["H", "O"],
             "_edge_chunk": int(os.environ.get("BENCH_EDGE_CHUNK", 16384)),
+            # rematerialization trades ~30% step time for memory; keep it
+            # only where memory needs it (large systems)
+            "_remat": bool(int(os.environ.get("BENCH_REMAT", N_ATOMS > 4000))),
         }
     )
     params = model_init(jax.random.PRNGKey(0), spec)
