@@ -119,7 +119,7 @@ class MDEngine:
             n_edges_cap=self.cl_spec.edge_capacity(n),
         )
         state = self._rebuild(state)
-        forces, energy = self._forces(state)
+        forces, energy = self._forces_jit(state)
         return state.replace(forces=forces, potential_energy=energy)
 
     # -- internals -----------------------------------------------------------
@@ -144,6 +144,13 @@ class MDEngine:
         with jax.default_matmul_precision(self.precision):
             out = model_compute(self.spec, self.params, graph, compute_stress=False)
         return out["forces"], out["energy"][0]
+
+    def _forces_jit(self, state: MDState):
+        # jitted wrapper for host-side calls (eager evaluation materializes
+        # every intermediate and can exhaust HBM on big systems)
+        if "forces" not in self._run_cache:
+            self._run_cache["forces"] = jax.jit(self._forces)
+        return self._run_cache["forces"](state)
 
     def _step_fn(self, integrator: str, dt: float, **kw):
         skin_half_sq = (self.skin / 2.0) ** 2

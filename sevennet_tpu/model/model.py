@@ -84,49 +84,24 @@ def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src, n_atoms
     xs = conv.irreps_x.slices()
     fs = conv.irreps_filter.slices()
     out = [None] * len(conv.irreps_mid)
-
-    # group instructions by input block: the per-edge radial weight does not
-    # depend on the spherical index m, so
-    #   msg_k = (sum_m tmp_k[m, p] x[m, u]) * w_k[u]
-    # and all of a block's paths share ONE contraction over (m) with their
-    # filter projections stacked along p.
-    w_offsets = []
-    off = 0
+    w_off = 0
     for i, j, k, pw in conv.instructions:
-        w_offsets.append(off)
-        off += conv.irreps_x[i].mul
-
-    by_input = {}
-    for idx, (i, j, k, pw) in enumerate(conv.instructions):
-        by_input.setdefault(i, []).append((idx, j, k, pw))
-
-    for i, group in by_input.items():
         mi_x = conv.irreps_x[i]
-        d1 = mi_x.ir.dim
-        xb = xg[:, :, xs[i]].reshape(n_atoms, K, d1, mi_x.mul)
-        # stacked filter projection (N, K, m, sum_p)
-        tmps = []
-        p_slices = []
-        p_off = 0
-        for idx, j, k, pw in group:
-            mi_f = conv.irreps_filter[j]
-            mi_o = conv.irreps_mid[k]
-            w3j = jnp.asarray(
-                real_wigner_3j(mi_x.ir.l, mi_f.ir.l, mi_o.ir.l), dtype=x.dtype
-            ) * pw
-            fb = sh_nk[:, :, fs[j]]
-            tmps.append(jnp.einsum("mnp,akn->akmp", w3j, fb))
-            p_slices.append((k, p_off, mi_o.ir.dim))
-            p_off += mi_o.ir.dim
-        tmp_all = jnp.concatenate(tmps, axis=-1)  # (N, K, d1, P)
-        core = jnp.einsum("akmP,akmu->akPu", tmp_all, xb)  # one contraction
-        # per-path weights, then reduce over neighbors
-        for (idx, j, k, pw), (k2, p0, pd) in zip(group, p_slices):
-            wb = w_nk[:, :, w_offsets[idx] : w_offsets[idx] + mi_x.mul]
-            msg = jnp.einsum(
-                "akpu,aku->apu", core[:, :, p0 : p0 + pd, :], wb
-            )
-            out[k] = msg if out[k] is None else out[k] + msg
+        mi_f = conv.irreps_filter[j]
+        mi_o = conv.irreps_mid[k]
+        w3j = jnp.asarray(
+            real_wigner_3j(mi_x.ir.l, mi_f.ir.l, mi_o.ir.l), dtype=x.dtype
+        )
+        xb = xg[:, :, xs[i]].reshape(n_atoms, K, mi_x.ir.dim, mi_x.mul)
+        fb = sh_nk[:, :, fs[j]]
+        wb = w_nk[:, :, w_off : w_off + mi_x.mul]
+        w_off += mi_x.mul
+        tmp = jnp.einsum("mnp,akn->akmp", w3j, fb)
+        xw = xb * (pw * wb)[:, :, None, :]
+        # contract m AND K in one reduction — never materializes an
+        # (N, K, p, u) tensor
+        msg = jnp.einsum("akmp,akmu->apu", tmp, xw)
+        out[k] = msg if out[k] is None else out[k] + msg
 
     pieces = []
     kk = 0
