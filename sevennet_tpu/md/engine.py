@@ -102,10 +102,11 @@ class MDEngine:
             # dense conv consumes the full (N, K) slot grid directly
             self.cl_spec = dataclasses.replace(self.cl_spec, edge_cap=0)
             if self.spec.edge_dense_k != self.cl_spec.neighbor_capacity:
+                # edge_chunk is reused by the dense path as the atom-block
+                # streaming granularity (chunk // K atoms per block)
                 self.spec = dataclasses.replace(
                     self.spec,
                     edge_dense_k=self.cl_spec.neighbor_capacity,
-                    edge_chunk=0,
                 )
         species = self.spec.z_to_type[np.asarray(atomic_numbers)]
         assert (species >= 0).all(), "unknown species for this model"

@@ -76,49 +76,92 @@ def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src, n_atoms
 
     K = spec.edge_dense_k
     conv = layer.conv
-    w = scalar_mlp_apply(layer.radial_mlp, conv_params["weight_nn"], edge_emb)
-    w_nk = w.reshape(n_atoms, K, -1)
+
+    def block(emb_ak, sh_ak, src_ak):
+        """Conv for a block of A atoms: (A, K, ...) -> (A, dim_mid).
+        The radial MLP runs inside the block so its (A, K, numel) output
+        never materializes for all atoms at once."""
+        A = emb_ak.shape[0]
+        w_ak = scalar_mlp_apply(layer.radial_mlp, conv_params["weight_nn"], emb_ak)
+        xg = x[src_ak]  # (A, K, dim_x)
+        xs = conv.irreps_x.slices()
+        fs = conv.irreps_filter.slices()
+        out = [None] * len(conv.irreps_mid)
+        w_off = 0
+        for i, j, k, pw in conv.instructions:
+            mi_x = conv.irreps_x[i]
+            mi_f = conv.irreps_filter[j]
+            mi_o = conv.irreps_mid[k]
+            w3j = jnp.asarray(
+                real_wigner_3j(mi_x.ir.l, mi_f.ir.l, mi_o.ir.l), dtype=x.dtype
+            )
+            xb = xg[:, :, xs[i]].reshape(A, K, mi_x.ir.dim, mi_x.mul)
+            fb = sh_ak[:, :, fs[j]]
+            wb = w_ak[:, :, w_off : w_off + mi_x.mul]
+            w_off += mi_x.mul
+            tmp = jnp.einsum("mnp,akn->akmp", w3j, fb)
+            xw = xb * (pw * wb)[:, :, None, :]
+            # contract m AND K in one reduction — never materializes an
+            # (A, K, p, u) tensor
+            msg = jnp.einsum("akmp,akmu->apu", tmp, xw)
+            out[k] = msg if out[k] is None else out[k] + msg
+
+        pieces = []
+        kk = 0
+        nb = len(conv.irreps_mid)
+        while kk < nb:
+            ir = conv.irreps_mid[kk].ir
+            group = []
+            while kk < nb and conv.irreps_mid[kk].ir == ir:
+                mi = conv.irreps_mid[kk]
+                blk = out[kk]
+                if blk is None:
+                    blk = jnp.zeros((A, mi.ir.dim, mi.mul), dtype=x.dtype)
+                group.append(blk)
+                kk += 1
+            joined = group[0] if len(group) == 1 else jnp.concatenate(group, -1)
+            pieces.append(joined.reshape(A, -1))
+        return jnp.concatenate(pieces, axis=-1)
+
+    emb_nk = edge_emb.reshape(n_atoms, K, -1)
     sh_nk = sh.reshape(n_atoms, K, -1)
-    xg = x[edge_src].reshape(n_atoms, K, -1)
+    src_nk = edge_src.reshape(n_atoms, K)
 
-    xs = conv.irreps_x.slices()
-    fs = conv.irreps_filter.slices()
-    out = [None] * len(conv.irreps_mid)
-    w_off = 0
-    for i, j, k, pw in conv.instructions:
-        mi_x = conv.irreps_x[i]
-        mi_f = conv.irreps_filter[j]
-        mi_o = conv.irreps_mid[k]
-        w3j = jnp.asarray(
-            real_wigner_3j(mi_x.ir.l, mi_f.ir.l, mi_o.ir.l), dtype=x.dtype
+    chunk = spec.edge_chunk
+    a_blk = max(chunk // K, 1) if chunk > 0 else 0
+    if a_blk <= 0 or n_atoms <= a_blk:
+        return block(emb_nk, sh_nk, src_nk)
+
+    # stream atom blocks through a scan (memory bounded per block); pad the
+    # atom axis so it divides evenly — padded rows gather atom 0 and their
+    # outputs are sliced away
+    pad = (-n_atoms) % a_blk
+    if pad:
+        emb_nk = jnp.concatenate(
+            [emb_nk, jnp.zeros((pad,) + emb_nk.shape[1:], emb_nk.dtype)]
         )
-        xb = xg[:, :, xs[i]].reshape(n_atoms, K, mi_x.ir.dim, mi_x.mul)
-        fb = sh_nk[:, :, fs[j]]
-        wb = w_nk[:, :, w_off : w_off + mi_x.mul]
-        w_off += mi_x.mul
-        tmp = jnp.einsum("mnp,akn->akmp", w3j, fb)
-        xw = xb * (pw * wb)[:, :, None, :]
-        # contract m AND K in one reduction — never materializes an
-        # (N, K, p, u) tensor
-        msg = jnp.einsum("akmp,akmu->apu", tmp, xw)
-        out[k] = msg if out[k] is None else out[k] + msg
+        sh_nk = jnp.concatenate(
+            [sh_nk, jnp.zeros((pad,) + sh_nk.shape[1:], sh_nk.dtype)]
+        )
+        src_nk = jnp.concatenate(
+            [src_nk, jnp.zeros((pad, K), src_nk.dtype)]
+        )
+    nblk = (n_atoms + pad) // a_blk
 
-    pieces = []
-    kk = 0
-    nb = len(conv.irreps_mid)
-    while kk < nb:
-        ir = conv.irreps_mid[kk].ir
-        group = []
-        while kk < nb and conv.irreps_mid[kk].ir == ir:
-            mi = conv.irreps_mid[kk]
-            blk = out[kk]
-            if blk is None:
-                blk = jnp.zeros((n_atoms, mi.ir.dim, mi.mul), dtype=x.dtype)
-            group.append(blk)
-            kk += 1
-        joined = group[0] if len(group) == 1 else jnp.concatenate(group, axis=-1)
-        pieces.append(joined.reshape(n_atoms, -1))
-    return jnp.concatenate(pieces, axis=-1)
+    def body(_, inp):
+        e, s, sr = inp
+        return None, block(e, s, sr)
+
+    _, ys = jax.lax.scan(
+        body,
+        None,
+        (
+            emb_nk.reshape(nblk, a_blk, K, -1),
+            sh_nk.reshape(nblk, a_blk, K, -1),
+            src_nk.reshape(nblk, a_blk, K),
+        ),
+    )
+    return ys.reshape(nblk * a_blk, -1)[:n_atoms]
 
 
 def _convolve(spec, layer, conv_params, x, edge_emb, sh, edge_src, edge_dst, n_atoms):
