@@ -88,9 +88,12 @@ def main():
             "self_connection_type": "linear",
             "conv_denominator": 35.0,
             "chemical_species": ["H", "O"],
-            "_edge_chunk": int(os.environ.get("BENCH_EDGE_CHUNK", 16384)),
-            # rematerialization trades ~30% step time for memory; keep it
-            # only where memory needs it (large systems)
+            # memory policy: small systems fit without remat or streaming
+            # (fastest); large systems use per-layer remat + atom-block
+            # streaming of the dense conv
+            "_edge_chunk": int(
+                os.environ.get("BENCH_EDGE_CHUNK", 16384 if N_ATOMS > 4000 else 0)
+            ),
             "_remat": bool(int(os.environ.get("BENCH_REMAT", N_ATOMS > 4000))),
         }
     )
