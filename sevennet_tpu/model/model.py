@@ -148,9 +148,13 @@ def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src, n_atoms
         )
     nblk = (n_atoms + pad) // a_blk
 
+    # remat the block: the scan otherwise stacks every block's TP
+    # intermediates as backward residuals, defeating the streaming
+    block_r = jax.checkpoint(block)
+
     def body(_, inp):
         e, s, sr = inp
-        return None, block(e, s, sr)
+        return None, block_r(e, s, sr)
 
     _, ys = jax.lax.scan(
         body,
