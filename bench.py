@@ -31,7 +31,7 @@ from sevennet_tpu.model.model import model_init
 from sevennet_tpu.md import MDEngine
 
 N_ATOMS = int(os.environ.get("BENCH_ATOMS", 3000))
-N_STEPS = int(os.environ.get("BENCH_STEPS", 20))
+N_STEPS = int(os.environ.get("BENCH_STEPS", 60))
 DT_FS = 2.0  # production timestep used for the ns/day conversion
 # integration dt during the benchmark: tiny, so the (randomly initialized)
 # model's unphysical forces cannot blow up the neighbor list — the per-step
