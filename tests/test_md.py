@@ -138,3 +138,28 @@ def test_dense_conv_matches_flat():
     f1 = np.asarray(s_dense.forces)
     f2 = np.asarray(s_flat.forces)
     assert np.abs(f1 - f2).max() < 1e-4
+
+
+def test_dense_streaming_matches_unchunked():
+    """Atom-block streaming (edge_chunk) must not change dense results."""
+    import dataclasses
+
+    from sevennet_tpu.io import load_sevennet_checkpoint
+    from sevennet_tpu.md import MDEngine
+
+    spec, params = load_sevennet_checkpoint(
+        "/root/reference/tests/data/checkpoints/cp_0.pth"
+    )
+    rng = np.random.default_rng(7)
+    a = 9.6
+    cell = np.eye(3) * a
+    pos = rng.uniform(0, a, (24, 3))
+    Z = np.array([72] * 8 + [8] * 16)
+    s1 = MDEngine(
+        dataclasses.replace(spec, edge_chunk=0), params, cell, dense=True
+    ).make_state(pos, Z)
+    s2 = MDEngine(
+        dataclasses.replace(spec, edge_chunk=64), params, cell, dense=True
+    ).make_state(pos, Z)
+    assert abs(float(s1.potential_energy) - float(s2.potential_energy)) < 1e-5
+    assert np.abs(np.asarray(s1.forces) - np.asarray(s2.forces)).max() < 1e-5
