@@ -9,10 +9,15 @@ contracts the Wigner-coupled tensor product, and reduces over the K
 neighbor slots in VMEM.
 
 Status: correctness-validated scaffold (tested in interpreter mode and
-against the XLA dense path); the production default remains the XLA path
-until this kernel is profiled on hardware. Forward only — gradients fall
-back to XLA via `jax.custom_vjp` with the XLA implementation as the
-backward (numerically identical).
+against the XLA dense path); the production default remains the XLA path.
+Hardware findings so far (v5e): (a) output block's second-to-last dim must
+be a multiple of 8 -> a_block >= 8; (b) at a_block=8 Mosaic's scoped-vmem
+stack allocation for the fully unrolled 15-instruction body exceeds the
+16 MB VMEM (65 MB requested, no temporary reuse across the unrolled ops).
+Next step: restructure as a (atom_tile, instruction) 2-D grid revisiting
+the same output block with @pl.when(j == 0) initialization, so each grid
+step holds only one instruction's temporaries. Forward only — gradients
+fall back to XLA.
 """
 
 from __future__ import annotations
@@ -120,28 +125,37 @@ def make_dense_conv_kernel(conv_spec, mlp_spec, a_block: int, K: int,
             if li < n_mlp - 1:
                 h = jax.nn.silu(h) * cst
 
+        # 2D-only compute (Mosaic-friendly): blocks are flat ir_mul columns,
+        # every slice below is a static 2D column slice
         group_acc = {}
         for ii, ins in enumerate(instr):
-            xb = xg_ref[:, ins["x_sl"]].reshape(T, ins["d1"], ins["mul"])
+            d1, d3, mul = ins["d1"], ins["d3"], ins["mul"]
+            xw_flat = xg_ref[:, ins["x_sl"]]  # (T, d1*mul) in ir_mul layout
             fb = sh_ref[:, ins["f_sl"]]
-            wb = h[:, ins["w_sl"]]
-            w3j = w3j_refs[ii][:]
+            wb = h[:, ins["w_sl"]]  # (T, mul)
+            w3j = w3j_refs[ii][:]  # (d2, d1*d3)
             tmp = jnp.dot(fb, w3j, preferred_element_type=jnp.float32)
-            tmp = tmp.reshape(T, ins["d1"], ins["d3"])
-            xw = xb * wb[:, None, :]
-            msg = jnp.zeros((T, ins["d3"], ins["mul"]), jnp.float32)
-            for m in range(ins["d1"]):
-                msg = msg + tmp[:, m, :, None] * xw[:, m, None, :]
-            red = msg.reshape(a_block, K, ins["d3"], ins["mul"]).sum(axis=1)
-            k = ins["k"]
-            group_acc[k] = red if k not in group_acc else group_acc[k] + red
+            # msg columns (p, mul): sum_m tmp[:, m*d3+p] * x[:, m*mul:..]*wb
+            for p in range(d3):
+                acc = None
+                for m in range(d1):
+                    term = (
+                        tmp[:, m * d3 + p][:, None]
+                        * xw_flat[:, m * mul : (m + 1) * mul]
+                    )
+                    acc = term if acc is None else acc + term
+                acc = acc * wb  # (T, mul)
+                # reduce over the K neighbor slots
+                red = acc.reshape(a_block, K, mul).sum(axis=1)  # (A, mul)
+                key_ = (ins["k"], p)
+                group_acc[key_] = (
+                    red if key_ not in group_acc else group_acc[key_] + red
+                )
 
-        for k, red in group_acc.items():
+        for (k, p), red in group_acc.items():
             _, col, d, moff, mul_total, mul = layout_by_k[k]
-            # write into the (A, d, mul_total) group at mul offset moff
-            for dd in range(d):
-                start = col + dd * mul_total + moff
-                out_ref[:, start : start + mul] = red[:, dd, :]
+            start = col + p * mul_total + moff
+            out_ref[:, start : start + mul] = red
 
     def fused(x, emb, sh, src, mlp_ws):
         n_atoms = x.shape[0]
@@ -173,6 +187,9 @@ def make_dense_conv_kernel(conv_spec, mlp_spec, a_block: int, K: int,
                 (a_block, dim_mid), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((n_atoms, dim_mid), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=interpret,
         )(
             xg,
