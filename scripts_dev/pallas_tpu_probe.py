@@ -13,7 +13,7 @@ tgt = infer_irreps_out(x_ir, f_ir, 2, "full")
 conv = ConvTPSpec(x_ir, f_ir, tgt)
 mlp = ScalarMLPSpec((8, 64, 64, conv.weight_numel))
 
-N, K, A = 3072, 96, 2
+N, K, A = 3072, 96, 8
 key = jax.random.PRNGKey(0)
 x = jax.random.normal(key, (N, x_ir.dim))
 emb = jax.random.normal(key, (N, K, 8)) * 0.3
