@@ -71,11 +71,32 @@ def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src, n_atoms
     """Dense-neighbor convolution: edge arrays are (N*K,) row-major by
     receiver. The scatter is a sum over the K axis fused into the
     tensor-product contraction — no segment_sum, no (E, dim_mid) buffer.
+
+    With ``spec.conv_custom_vjp`` the fused implementation with the
+    mirror-edge backward (``ops/dense_conv.py``) is used — the production
+    path; the inline implementation below is the plain-autodiff reference.
     """
     from ..so3.wigner import real_wigner_3j
 
     K = spec.edge_dense_k
     conv = layer.conv
+
+    if spec.conv_custom_vjp:
+        from ..ops.dense_conv import dense_conv_apply
+
+        chunk = spec.edge_chunk
+        block_atoms = max(chunk // K, 1) if chunk > 0 else 0
+        return dense_conv_apply(
+            conv,
+            layer.radial_mlp,
+            conv_params["weight_nn"],
+            x,
+            edge_emb.reshape(n_atoms, K, -1),
+            sh.reshape(n_atoms, K, -1),
+            edge_src.reshape(n_atoms, K),
+            block_atoms=block_atoms,
+            compute_dtype=jnp.dtype(spec.conv_dtype),
+        )
 
     def block(emb_ak, sh_ak, src_ak):
         """Conv for a block of A atoms: (A, K, ...) -> (A, dim_mid).
