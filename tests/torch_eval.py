@@ -1,0 +1,502 @@
+"""Independent torch evaluation of a SevenNet checkpoint — NO e3nn, NO
+torch_geometric, no JAX.
+
+This is the cross-framework referee for numerical parity (the role the
+reference's hard-coded pretrained goldens play in
+``/root/reference/tests/unit_tests/test_pretrained.py:32-62``): a second,
+torch-based implementation of the NequIP forward in e3nn's native
+**mul_ir** layout (the JAX framework uses ir_mul), with weights read
+straight from the checkpoint's flat e3nn buffers and Wigner tables taken
+from the checkpoint itself where present.
+
+Semantics follow the reference modules:
+- BesselBasis / PolynomialCutoff  (sevenn/nn/edge_embedding.py:81-132)
+- o3.Linear: per-(i_in,i_out) same-irrep instructions, fan-in ("element")
+  normalization, flat (mul_in, mul_out) weights (sevenn/nn/linear.py)
+- uvu TensorProduct with external per-edge weights, instruction
+  construction and sort (sevenn/nn/convolution.py:61-83)
+- FullyConnectedTensorProduct self-connection (sevenn/nn/self_connection.py)
+- e3nn Gate with normalize2mom activations (sevenn/nn/equivariant_gate.py)
+- ForceStressOutputFromEdge force/virial (sevenn/nn/force_output.py:139-230)
+
+Spherical harmonics use the coefficient tables of
+``sevennet_tpu.so3.spherical`` — validated against e3nn's published
+generated polynomials (exact closed forms, signs included) in
+``test_so3.py``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import torch
+
+# --------------------------------------------------------------------------
+# irreps utilities (mul_ir layout)
+# --------------------------------------------------------------------------
+
+
+def parse_irreps(s):
+    """'4x0e+4x1o' -> list of (mul, l, p) with p in {1,-1}."""
+    out = []
+    for tok in str(s).split("+"):
+        tok = tok.strip()
+        if not tok:
+            continue
+        if "x" in tok:
+            mul, ir = tok.split("x")
+        else:
+            mul, ir = "1", tok
+        l = int(ir[:-1])
+        p = 1 if ir[-1] == "e" else -1
+        out.append((int(mul), l, p))
+    return out
+
+
+def ir_dim(l):
+    return 2 * l + 1
+
+
+def irreps_dim(irreps):
+    return sum(mul * ir_dim(l) for mul, l, p in irreps)
+
+
+def slices(irreps):
+    out, off = [], 0
+    for mul, l, p in irreps:
+        d = mul * ir_dim(l)
+        out.append(slice(off, off + d))
+        off += d
+    return out
+
+
+def tp_out_irs(l1, p1, l2, p2):
+    return [(l3, p1 * p2) for l3 in range(abs(l1 - l2), l1 + l2 + 1)]
+
+
+def simplify_irreps(irreps):
+    """Merge ADJACENT equal irreps (e3nn Irreps.simplify). In mul_ir layout
+    the flat data of sorted-unsimplified and simplified irreps coincide, but
+    Linear weight layouts differ — the reference builds self_interaction_2
+    on the simplified irreps (util.infer_irreps_out simplifies,
+    /root/reference/sevenn/util.py:208-222)."""
+    out = []
+    for mul, l, p in parse_irreps(irreps) if isinstance(irreps, str) else irreps:
+        if out and out[-1][1] == l and out[-1][2] == p:
+            out[-1][0] += mul
+        else:
+            out.append([mul, l, p])
+    return "+".join(f"{m}x{l}{'e' if p == 1 else 'o'}" for m, l, p in out)
+
+
+# --------------------------------------------------------------------------
+# Wigner 3j tables: from the checkpoint where available, analytic otherwise
+# --------------------------------------------------------------------------
+
+
+class W3J:
+    def __init__(self, state_dict):
+        self.tables = {}
+        for k, v in state_dict.items():
+            if "_w3j_" in k:
+                l1, l2, l3 = (int(t) for t in k.split("_w3j_")[1].split("_"))
+                self.tables[(l1, l2, l3)] = v.to(torch.float64)
+
+    def __call__(self, l1, l2, l3):
+        key = (l1, l2, l3)
+        if key in self.tables:
+            return self.tables[key]
+        # analytic cases involving l=0 and (1,1,1)/(l,l,0)
+        if l1 == 0 and l2 == l3:
+            w = torch.eye(ir_dim(l2), dtype=torch.float64) / math.sqrt(ir_dim(l2))
+            return w.unsqueeze(0)
+        if l2 == 0 and l1 == l3:
+            w = torch.eye(ir_dim(l1), dtype=torch.float64) / math.sqrt(ir_dim(l1))
+            return w.unsqueeze(1)
+        if l3 == 0 and l1 == l2:
+            w = torch.eye(ir_dim(l1), dtype=torch.float64) / math.sqrt(ir_dim(l1))
+            return w.unsqueeze(2)
+        if key == (1, 1, 1):
+            w = torch.zeros(3, 3, 3, dtype=torch.float64)
+            c = 1.0 / math.sqrt(6.0)
+            # real (x,y,z)-ordered antisymmetric tensor, e3nn convention
+            for a, b, cc, s in [(0, 1, 2, 1), (1, 2, 0, 1), (2, 0, 1, 1),
+                                (0, 2, 1, -1), (2, 1, 0, -1), (1, 0, 2, -1)]:
+                w[a, b, cc] = s * c
+            return w
+        raise KeyError(f"w3j {key} not in checkpoint and not analytic")
+
+
+# --------------------------------------------------------------------------
+# building blocks (all fp64)
+# --------------------------------------------------------------------------
+
+_N2M = {  # e3nn normalize2mom constants (seed-0 MC, see ops/activations.py)
+    "silu": 1.6791767923989418,
+    "tanh": 1.5937334472592695,
+    "sigmoid": 1.8467055342154766,
+    "abs": 1.001110600838467,
+}
+
+_ACT = {
+    "silu": torch.nn.functional.silu,
+    "tanh": torch.tanh,
+    "sigmoid": torch.sigmoid,
+    "abs": torch.abs,
+}
+
+
+def act(name, x):
+    return _ACT[name](x) * _N2M[name]
+
+
+def bessel(r, coeffs, cutoff):
+    return (2.0 / cutoff) * torch.sin(coeffs * r.unsqueeze(-1)) / r.unsqueeze(-1)
+
+
+def poly_cutoff(r, cutoff, p=6):
+    x = r / cutoff
+    c0 = (p + 1.0) * (p + 2.0) / 2.0
+    c1 = p * (p + 2.0)
+    c2 = p * (p + 1.0) / 2.0
+    return 1.0 - c0 * x**p + c1 * x ** (p + 1) - c2 * x ** (p + 2)
+
+
+def sph_harm(lmax, vec):
+    """Component-normalized real SH of normalized vec, (E, (lmax+1)^2)."""
+    from sevennet_tpu.so3.spherical import monomials, sh_coefficients
+
+    v = vec / vec.norm(dim=-1, keepdim=True)
+    x, y, z = v[:, 0], v[:, 1], v[:, 2]
+    cols = []
+    for l in range(lmax + 1):
+        C = torch.as_tensor(np.asarray(sh_coefficients(l)), dtype=torch.float64)
+        mono = torch.stack(
+            [x**a * y**b * z**c for a, b, c in monomials(l)], dim=-1
+        )
+        cols.append(mono @ C.T)
+    return torch.cat(cols, dim=-1)
+
+
+class Linear:
+    """e3nn o3.Linear: same-irrep instructions, element normalization."""
+
+    def __init__(self, irreps_in, irreps_out, flat_w):
+        self.irreps_in = parse_irreps(irreps_in)
+        self.irreps_out = parse_irreps(irreps_out)
+        ins = [
+            (i, j)
+            for i, (mu, li, pi) in enumerate(self.irreps_in)
+            for j, (mv, lj, pj) in enumerate(self.irreps_out)
+            if (li, pi) == (lj, pj)
+        ]
+        fan = {}
+        for i, j in ins:
+            fan[j] = fan.get(j, 0) + self.irreps_in[i][0]
+        self.ins = [(i, j, 1.0 / math.sqrt(fan[j])) for i, j in ins]
+        self.ws = []
+        flat_w = flat_w.to(torch.float64)
+        off = 0
+        for i, j, _ in self.ins:
+            mu, mv = self.irreps_in[i][0], self.irreps_out[j][0]
+            self.ws.append(flat_w[off : off + mu * mv].reshape(mu, mv))
+            off += mu * mv
+        assert off == flat_w.numel(), (off, flat_w.numel())
+
+    def __call__(self, x):
+        sl_in = slices(self.irreps_in)
+        out = [None] * len(self.irreps_out)
+        for (i, j, alpha), w in zip(self.ins, self.ws):
+            mu, l, _ = self.irreps_in[i]
+            xb = x[:, sl_in[i]].reshape(-1, mu, ir_dim(l))
+            yb = torch.einsum("zui,uv->zvi", xb, w) * alpha
+            out[j] = yb if out[j] is None else out[j] + yb
+        cols = []
+        for j, (mv, l, p) in enumerate(self.irreps_out):
+            blk = out[j]
+            if blk is None:
+                blk = torch.zeros(x.shape[0], mv, ir_dim(l), dtype=torch.float64)
+            cols.append(blk.reshape(-1, mv * ir_dim(l)))
+        return torch.cat(cols, dim=-1)
+
+
+class ConvTP:
+    """uvu TensorProduct with external weights, reference instruction order
+    (sevenn/nn/convolution.py:61-83)."""
+
+    def __init__(self, irreps_x, irreps_filter, irreps_target, w3j):
+        self.irreps_x = parse_irreps(irreps_x)
+        self.irreps_f = parse_irreps(irreps_filter)
+        target = {(l, p) for _, l, p in parse_irreps(irreps_target)}
+        ins = []
+        mid = []
+        for i, (mul, l1, p1) in enumerate(self.irreps_x):
+            for j, (_, l2, p2) in enumerate(self.irreps_f):
+                for (l3, p3) in tp_out_irs(l1, p1, l2, p2):
+                    if (l3, p3) in target:
+                        ins.append((i, j, len(mid)))
+                        mid.append((mul, l3, p3))
+        # e3nn Irreps.sort: stable by (l, -p*(-1)^l) — 0e,0o,1o,1e,2e,2o,...
+        order = sorted(
+            range(len(mid)),
+            key=lambda k: (mid[k][1], -mid[k][2] * (-1) ** mid[k][1]),
+        )
+        perm = [0] * len(mid)
+        for newk, oldk in enumerate(order):
+            perm[oldk] = newk
+        self.irreps_mid = [mid[k] for k in order]
+        ins = sorted(
+            [(i, j, perm[k]) for (i, j, k) in ins], key=lambda t: t[2]
+        )
+        fan = {}
+        for i, j, k in ins:
+            fan[k] = fan.get(k, 0) + self.irreps_f[j][0]
+        self.ins = [
+            (i, j, k, math.sqrt(ir_dim(self.irreps_mid[k][1]) / fan[k]))
+            for (i, j, k) in ins
+        ]
+        self.w3j = w3j
+        self.weight_numel = sum(self.irreps_x[i][0] for i, _, _, _ in self.ins)
+
+    def __call__(self, x, filt, weight):
+        sl_x = slices(self.irreps_x)
+        sl_f = slices(self.irreps_f)
+        out = [None] * len(self.irreps_mid)
+        w_off = 0
+        for i, j, k, pw in self.ins:
+            mul, l1, _ = self.irreps_x[i]
+            _, l2, _ = self.irreps_f[j]
+            _, l3, _ = self.irreps_mid[k]
+            w3 = self.w3j(l1, l2, l3)
+            xb = x[:, sl_x[i]].reshape(-1, mul, ir_dim(l1))
+            fb = filt[:, sl_f[j]]
+            wb = weight[:, w_off : w_off + mul]
+            w_off += mul
+            blk = pw * torch.einsum(
+                "mnp,zum,zn,zu->zup", w3, xb, fb, wb
+            )
+            out[k] = blk if out[k] is None else out[k] + blk
+        cols = []
+        for k, (mul, l, p) in enumerate(self.irreps_mid):
+            cols.append(out[k].reshape(-1, mul * ir_dim(l)))
+        return torch.cat(cols, dim=-1)
+
+    @property
+    def irreps_mid_str(self):
+        return "+".join(
+            f"{m}x{l}{'e' if p == 1 else 'o'}" for m, l, p in self.irreps_mid
+        )
+
+
+class FCTP:
+    """FullyConnectedTensorProduct (uvw internal weights)."""
+
+    def __init__(self, irreps_1, irreps_2, irreps_out, flat_w, w3j):
+        self.i1 = parse_irreps(irreps_1)
+        self.i2 = parse_irreps(irreps_2)
+        self.io = parse_irreps(irreps_out)
+        ins = []
+        for a, (m1, l1, p1) in enumerate(self.i1):
+            for b, (m2, l2, p2) in enumerate(self.i2):
+                for c, (mo, lo, po) in enumerate(self.io):
+                    if (lo, po) in tp_out_irs(l1, p1, l2, p2):
+                        ins.append((a, b, c))
+        fan = {}
+        for a, b, c in ins:
+            fan[c] = fan.get(c, 0) + self.i1[a][0] * self.i2[b][0]
+        self.ins = [
+            (a, b, c, math.sqrt(ir_dim(self.io[c][1]) / fan[c]))
+            for a, b, c in ins
+        ]
+        self.w3j = w3j
+        self.ws = []
+        flat_w = flat_w.to(torch.float64)
+        off = 0
+        for a, b, c, _ in self.ins:
+            n = self.i1[a][0] * self.i2[b][0] * self.io[c][0]
+            self.ws.append(
+                flat_w[off : off + n].reshape(
+                    self.i1[a][0], self.i2[b][0], self.io[c][0]
+                )
+            )
+            off += n
+        assert off == flat_w.numel(), (off, flat_w.numel())
+
+    def __call__(self, x1, x2):
+        s1, s2 = slices(self.i1), slices(self.i2)
+        out = [None] * len(self.io)
+        for (a, b, c, pw), w in zip(self.ins, self.ws):
+            m1, l1, _ = self.i1[a]
+            m2, l2, _ = self.i2[b]
+            mo, lo, _ = self.io[c]
+            w3 = self.w3j(l1, l2, lo)
+            xb = x1[:, s1[a]].reshape(-1, m1, ir_dim(l1))
+            yb = x2[:, s2[b]].reshape(-1, m2, ir_dim(l2))
+            blk = pw * torch.einsum(
+                "mnp,zum,zvn,uvw->zwp", w3, xb, yb, w
+            )
+            out[c] = blk if out[c] is None else out[c] + blk
+        cols = []
+        for c, (mo, lo, po) in enumerate(self.io):
+            blk = out[c]
+            if blk is None:
+                blk = torch.zeros(x1.shape[0], mo, ir_dim(lo), dtype=torch.float64)
+            cols.append(blk.reshape(-1, mo * ir_dim(lo)))
+        return torch.cat(cols, dim=-1)
+
+
+def weight_nn(emb, layers, act_name="silu"):
+    """e3nn FullyConnectedNet: h @ W / sqrt(fan_in), normalize2mom act."""
+    h = emb
+    for li, w in enumerate(layers):
+        h = h @ w.to(torch.float64) / math.sqrt(w.shape[0])
+        if li < len(layers) - 1:
+            h = act(act_name, h)
+    return h
+
+
+def gate(x, irreps_out, act_scalar, act_gate):
+    """e3nn Gate; input = scalars + gates + gated (mul_ir layout)."""
+    irreps = parse_irreps(irreps_out)
+    scalars = [(m, l, p) for m, l, p in irreps if l == 0]
+    gated = [(m, l, p) for m, l, p in irreps if l > 0]
+    gate_p = 1 if any(p == 1 for _, _, p in scalars) else -1
+    n_s = sum(m for m, _, _ in scalars)
+    n_g = sum(m for m, _, _ in gated)
+    xs, xg, xv = x[:, :n_s], x[:, n_s : n_s + n_g], x[:, n_s + n_g :]
+    cols = []
+    off = 0
+    for m, l, p in scalars:
+        name = act_scalar["e" if p == 1 else "o"]
+        cols.append(act(name, xs[:, off : off + m]))
+        off += m
+    goff = 0
+    voff = 0
+    for m, l, p in gated:
+        name = act_gate["e" if gate_p == 1 else "o"]
+        g = act(name, xg[:, goff : goff + m])
+        blk = xv[:, voff : voff + m * ir_dim(l)].reshape(-1, m, ir_dim(l))
+        cols.append((blk * g.unsqueeze(-1)).reshape(-1, m * ir_dim(l)))
+        goff += m
+        voff += m * ir_dim(l)
+    return torch.cat(cols, dim=-1)
+
+
+# --------------------------------------------------------------------------
+# full model evaluation
+# --------------------------------------------------------------------------
+
+
+def evaluate(cp_path, pos, Z, cell, layer_plan):
+    """Evaluate a SevenNet checkpoint on one periodic structure.
+
+    ``layer_plan``: list of per-layer dicts with irreps strings
+    {"x": ..., "target": ..., "si1_out": ..., "gate_in": ..., "out": ...}
+    plus top-level {"embed_out": ...} — structural info only (no numbers);
+    every weight length is asserted against it.
+
+    Returns dict with energy (eV), forces (eV/A), stress (eV/A^3, voigt
+    xx yy zz xy yz zx as the JAX framework reports it).
+    """
+    cp = torch.load(cp_path, map_location="cpu", weights_only=False)
+    sd = {k: v for k, v in cp["model_state_dict"].items()}
+    cfg = cp["config"]
+    cutoff = float(cfg["cutoff"])
+    type_map = cfg["_type_map"]
+    n_species = len(type_map)
+    lmax = int(cfg["lmax"])
+    w3j = W3J(sd)
+
+    # neighbor list (full, PBC) — shared infrastructure, not under test
+    from sevennet_tpu.data.neighborlist import neighbor_list_numpy
+
+    dst, src, shifts = neighbor_list_numpy(np.asarray(pos), cutoff,
+                                           np.asarray(cell), True)
+    n_atoms = len(pos)
+    pos_t = torch.as_tensor(np.asarray(pos), dtype=torch.float64)
+    cell_t = torch.as_tensor(np.asarray(cell), dtype=torch.float64)
+    shifts_t = torch.as_tensor(np.asarray(shifts), dtype=torch.float64)
+    src_t = torch.as_tensor(src, dtype=torch.long)
+    dst_t = torch.as_tensor(dst, dtype=torch.long)
+
+    edge_vec = pos_t[src_t] - pos_t[dst_t] + shifts_t @ cell_t
+    edge_vec = edge_vec.detach().requires_grad_(True)
+
+    r = edge_vec.norm(dim=-1)
+    coeffs = sd["edge_embedding.basis_function.coeffs"].to(torch.float64)
+    emb = bessel(r, coeffs, cutoff) * poly_cutoff(r, cutoff).unsqueeze(-1)
+    sh = sph_harm(lmax, edge_vec)
+
+    types = torch.as_tensor([type_map[int(z)] for z in Z], dtype=torch.long)
+    onehot = torch.nn.functional.one_hot(types, n_species).to(torch.float64)
+    onehot_irreps = f"{n_species}x0e"
+
+    embed = Linear(
+        onehot_irreps, layer_plan["embed_out"],
+        sd["onehot_to_feature_x.linear.weight"],
+    )
+    x = embed(onehot)
+
+    for t, lp in enumerate(layer_plan["layers"]):
+        # self-connection maps to the GATE INPUT irreps (added pre-gate);
+        # its repeated 0e blocks each get their own path
+        sc = FCTP(
+            lp["x"], onehot_irreps, lp["gate_in"],
+            sd[f"{t}_self_connection_intro.fc_tensor_product.weight"], w3j,
+        )
+        sc_out = sc(x, onehot)
+        si1 = Linear(lp["x"], lp["x"],
+                     sd[f"{t}_self_interaction_1.linear.weight"])
+        x = si1(x)
+        conv = ConvTP(lp["x"], lp["filter"], lp["target"], w3j)
+        mlp_ws = [sd[f"{t}_convolution.weight_nn.layer{i}.weight"]
+                  for i in range(3)]
+        assert mlp_ws[-1].shape[1] == conv.weight_numel
+        w_edge = weight_nn(emb, mlp_ws, cfg.get("act_radial", "silu"))
+        # messages flow sender -> receiver: gather x[src], scatter into dst
+        # (sevenn/nn/convolution.py:125-133 semantics)
+        msg = conv(x[src_t], sh, w_edge)
+        x_new = torch.zeros(
+            n_atoms, msg.shape[1], dtype=torch.float64
+        ).index_add_(0, dst_t, msg)
+        denom = sd[f"{t}_convolution.denominator"].to(torch.float64)
+        x = x_new / denom
+        si2 = Linear(simplify_irreps(conv.irreps_mid_str), lp["gate_in"],
+                     sd[f"{t}_self_interaction_2.linear.weight"])
+        x = si2(x)
+        x = x + sc_out
+        x = gate(x, lp["out"], cfg["act_scalar"], cfg["act_gate"])
+
+    ro1 = Linear(layer_plan["layers"][-1]["out"], layer_plan["readout_hidden"],
+                 sd["reduce_input_to_hidden.linear.weight"])
+    ro2 = Linear(layer_plan["readout_hidden"], "1x0e",
+                 sd["reduce_hidden_to_energy.linear.weight"])
+    e_scaled = ro2(ro1(x))[:, 0]
+    shift = sd["rescale_atomic_energy.shift"].to(torch.float64)
+    scale = sd["rescale_atomic_energy.scale"].to(torch.float64)
+    e_atom = e_scaled * scale + shift
+    energy = e_atom.sum()
+
+    (fij,) = torch.autograd.grad(energy, edge_vec)
+    # F_i = sum_{dst=i} fij - sum_{src=i} fij  (force_output.py:171-196)
+    forces = torch.zeros(n_atoms, 3, dtype=torch.float64)
+    forces.index_add_(0, dst_t, fij)
+    forces.index_add_(0, src_t, -fij)
+    # per-edge virial at the sender; stress = -sum(r (x) f)/V, voigt order
+    rij = edge_vec.detach()
+    v6 = torch.stack(
+        [
+            rij[:, 0] * fij[:, 0], rij[:, 1] * fij[:, 1],
+            rij[:, 2] * fij[:, 2], rij[:, 0] * fij[:, 1],
+            rij[:, 1] * fij[:, 2], rij[:, 2] * fij[:, 0],
+        ],
+        dim=-1,
+    )
+    vol = torch.det(cell_t)
+    stress = -v6.sum(dim=0) / vol
+    return {
+        "energy": float(energy),
+        "forces": forces.numpy(),
+        "stress": stress.numpy(),
+    }
