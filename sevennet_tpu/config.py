@@ -65,19 +65,40 @@ def read_config_yaml(path: str) -> Tuple[Dict, Dict, Dict]:
     return config_from_dicts(raw)
 
 
+# keys accepted beyond the defaults (reference knobs handled elsewhere or
+# deliberately tolerated for preset compatibility)
+_EXTRA_MODEL_KEYS = {
+    "lmax_edge", "lmax_node", "_normalize_sph", "conv_denominator",
+    "train_denominator", "train_shift_scale", "shift", "scale",
+    "use_modal_wise_shift", "use_modal_wise_scale", "use_modality",
+}
+_EXTRA_TRAIN_KEYS = {"device", "dtype", "num_workers", "use_weight"}
+_EXTRA_DATA_KEYS = {
+    "shift", "scale", "conv_denominator", "load_testset_path",
+    "use_modality", "load_dataset_path", "save_dataset_path",
+    "preprocess_num_cores", "compute_statistics", "dataset_cache",
+}
+
+
+def _check_unknown(section: str, raw: Dict, defaults: Dict, extra: set):
+    unknown = set(raw) - set(defaults) - extra
+    if unknown:
+        raise ValueError(
+            f"unknown {section} config key(s): {sorted(unknown)} — "
+            f"valid keys: {sorted(set(defaults) | extra)}"
+        )
+
+
 def config_from_dicts(raw: Dict) -> Tuple[Dict, Dict, Dict]:
     model_raw = dict(raw.get("model", {}))
     train_raw = dict(raw.get("train", {}))
     data_raw = dict(raw.get("data", {}))
 
+    _check_unknown("model", model_raw, DEFAULT_MODEL_CONFIG, _EXTRA_MODEL_KEYS)
+    _check_unknown("train", train_raw, DEFAULT_TRAIN_CONFIG, _EXTRA_TRAIN_KEYS)
+    _check_unknown("data", data_raw, DEFAULT_DATA_CONFIG, _EXTRA_DATA_KEYS)
+
     model = copy.deepcopy(DEFAULT_MODEL_CONFIG)
-    # legacy aliases used in reference presets
-    aliases = {
-        "weight_nn_hidden_neurons": "weight_nn_hidden_neurons",
-        "channel": "channel",
-        "lmax": "lmax",
-    }
-    _ = aliases
     model.update(model_raw)
     # reference uses 'avg_num_neigh'/'sqrt_avg_num_neigh' strings resolved
     # from dataset statistics later — keep strings here

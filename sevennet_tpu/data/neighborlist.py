@@ -56,30 +56,46 @@ def neighbor_list_numpy(
     heights = 1.0 / np.linalg.norm(recip, axis=1)
     n_img = np.where(pbc, np.ceil(cutoff / heights).astype(int), 0)
 
-    tree = cKDTree(pos_w)
-    dsts, srcs, shifts = [], [], []
-    for sa in range(-n_img[0], n_img[0] + 1):
-        for sb in range(-n_img[1], n_img[1] + 1):
-            for sc in range(-n_img[2], n_img[2] + 1):
-                S = np.array([sa, sb, sc], dtype=np.float64)
-                shifted = pos_w + S @ cell  # sender images
-                pairs = tree.query_ball_point(shifted, r=cutoff)
-                for j, i_list in enumerate(pairs):
-                    for i in i_list:
-                        if sa == 0 and sb == 0 and sc == 0 and i == j:
-                            continue
-                        dsts.append(i)
-                        srcs.append(j)
-                        shifts.append(S)
-    if not dsts:
+    # All sender images in one array; one C-side sparse distance query
+    # (replaces the round-1 python loop over 27 images x per-atom lists,
+    # which was hopeless at 100k atoms).
+    sa = np.arange(-n_img[0], n_img[0] + 1)
+    sb = np.arange(-n_img[1], n_img[1] + 1)
+    sc = np.arange(-n_img[2], n_img[2] + 1)
+    shift_table = np.stack(
+        np.meshgrid(sa, sb, sc, indexing="ij"), axis=-1
+    ).reshape(-1, 3).astype(np.float64)
+    center = int(np.flatnonzero((shift_table == 0).all(axis=1))[0])
+    images = (
+        pos_w[None, :, :] + (shift_table @ cell)[:, None, :]
+    ).reshape(-1, 3)
+    # keep only images within a cutoff-shell of the primary cell (fractional
+    # box grown by cutoff/height per axis) — shrinks the image tree ~5-10x
+    frac_img = images @ inv
+    eps = np.where(pbc, cutoff / heights, 0.0) + 1e-9
+    in_shell = np.flatnonzero(
+        ((frac_img >= -eps) & (frac_img <= 1.0 + eps)).all(axis=1)
+    )
+    images = images[in_shell]
+
+    tree_recv = cKDTree(pos_w)
+    tree_img = cKDTree(images)
+    hits = tree_recv.sparse_distance_matrix(
+        tree_img, max_distance=cutoff, output_type="ndarray"
+    )
+    i = hits["i"].astype(np.int64)
+    jj = in_shell[hits["j"].astype(np.int64)]
+    k = jj // n
+    j = jj % n
+    keep = ~((k == center) & (i == j))
+    dst, src, k = i[keep], j[keep], k[keep]
+    if len(dst) == 0:
         return (
             np.zeros(0, np.int64),
             np.zeros(0, np.int64),
             np.zeros((0, 3), np.float64),
         )
-    dst = np.asarray(dsts, dtype=np.int64)
-    src = np.asarray(srcs, dtype=np.int64)
-    S = np.asarray(shifts, dtype=np.float64)
+    S = shift_table[k]
     # correct shifts back to the original (unwrapped) positions:
     # pos_w = pos - wrap@cell  =>  D = pos[j] + (S - wrap_j + wrap_i)@cell - pos[i]
     S = S - wrap[src] + wrap[dst]

@@ -94,13 +94,23 @@ def train_run(
 
     cont = train_cfg.get("continue", {}) or {}
     start_epoch = 0
+    cont_opt_state = None
+    cont_meta = {}
     if cont.get("checkpoint"):
         from ..io.native_checkpoint import load_checkpoint
 
         spec_cp, params, meta = load_checkpoint(cont["checkpoint"])
         spec = spec_cp
+        cont_meta = meta
         if not cont.get("reset_epoch"):
             start_epoch = int(meta.get("epoch", 0))
+        if not cont.get("reset_optimizer"):
+            import os as _os
+
+            op = _os.path.join(str(cont["checkpoint"]), "opt_state.msgpack")
+            if _os.path.exists(op):
+                with open(op, "rb") as f:
+                    cont_opt_state = f.read()
         log.format_k_v("continue from", cont["checkpoint"])
     else:
         params = model_init(jax.random.PRNGKey(int(train_cfg.get("random_seed", 1))), spec)
@@ -124,15 +134,49 @@ def train_run(
         scheduler_param=dict(train_cfg.get("scheduler_param", {})),
     )
     trainer = Trainer(spec, params, tcfg)
+    if cont_opt_state is not None:
+        trainer.load_opt_state(cont_opt_state)
+        log.writeline("continue: optimizer state restored")
+    if cont.get("checkpoint"):
+        aux = dict(cont_meta.get("extra", {}).get("trainer", {}))
+        if cont.get("reset_scheduler"):
+            aux.pop("plateau_best", None)
+            aux.pop("plateau_bad", None)
+            aux.pop("plateau_scale", None)
+            aux["sched_epoch0"] = start_epoch
+        trainer.load_aux_state(aux)
+
+    # best-checkpoint criterion (reference 'best_metric', TotalLoss default)
+    _METRIC_KEY = {
+        "totalloss": "loss_total",
+        "energy": "energy_rmse",
+        "force": "force_rmse",
+        "stress": "stress_rmse",
+    }
+    best_metric_key = _METRIC_KEY.get(
+        str(train_cfg.get("best_metric", "TotalLoss")).lower(), "loss_total"
+    )
 
     lc = LearningCurveCSV(os.path.join(working_dir, "lc.csv"))
     n_epochs = int(max_epochs or train_cfg.get("epoch", 10))
     batch_size = int(data_cfg.get("batch_size", 6))
     per_epoch = int(train_cfg.get("per_epoch", 10))
-    best = np.inf
+    best = float(cont_meta.get("extra", {}).get("best", np.inf)) if not cont.get(
+        "reset_epoch"
+    ) else np.inf
+
+    def _save(tag, epoch):
+        from ..io.native_checkpoint import save_checkpoint
+
+        save_checkpoint(
+            os.path.join(working_dir, tag),
+            model_cfg, trainer.state.params, trainer.state.opt_state, epoch,
+            extra={"trainer": trainer.aux_state(), "best": best},
+        )
 
     for epoch in range(start_epoch + 1, start_epoch + n_epochs + 1):
         log.timer_start("epoch")
+        trainer.set_epoch(epoch - 1)  # lr for this epoch
         tr = trainer.run_epoch(
             trainset.batches(batch_size, shuffle=bool(train_cfg.get("train_shuffle", True)), seed=epoch),
             train=True,
@@ -144,32 +188,21 @@ def train_run(
         lc.append(epoch, rows)
         key_metrics = rows.get("valid", rows["train"])
         log.writeline(
-            f"epoch {epoch}: "
+            f"epoch {epoch}: lr={trainer.current_lr(epoch - 1):.3e} "
             + " ".join(f"{k}={v:.4g}" for k, v in key_metrics.items() if "loss" in k or "rmse" in k)
         )
         log.timer_end("epoch", f"epoch {epoch} time")
 
-        crit = key_metrics.get("loss_total", np.inf)
+        crit = key_metrics.get(best_metric_key, np.inf)
         trainer.plateau_step(crit)
-        from ..io.native_checkpoint import save_checkpoint
 
         if crit < best:
             best = crit
-            save_checkpoint(
-                os.path.join(working_dir, "checkpoint_best"),
-                model_cfg, trainer.state.params, trainer.state.opt_state, epoch,
-            )
+            _save("checkpoint_best", epoch)
         if epoch % per_epoch == 0:
-            save_checkpoint(
-                os.path.join(working_dir, f"checkpoint_{epoch}"),
-                model_cfg, trainer.state.params, trainer.state.opt_state, epoch,
-            )
+            _save(f"checkpoint_{epoch}", epoch)
 
-    save_checkpoint(
-        os.path.join(working_dir, "checkpoint_last"),
-        model_cfg, trainer.state.params, trainer.state.opt_state,
-        start_epoch + n_epochs,
-    )
+    _save("checkpoint_last", start_epoch + n_epochs)
     log.timer_end("total", "total training time")
     log.close()
     return trainer

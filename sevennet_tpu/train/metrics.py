@@ -24,8 +24,8 @@ __all__ = ["MetricsAccumulator", "metrics_update", "metrics_finalize", "empty_ac
 
 def empty_accumulator() -> Dict[str, jnp.ndarray]:
     names = [
-        "energy_rmse", "energy_mae", "force_rmse", "force_mae",
-        "stress_rmse", "stress_mae",
+        "energy_rmse", "energy_mae", "force_rmse", "force_rmse_comp",
+        "force_mae", "stress_rmse", "stress_mae",
     ]
     return {n: jnp.zeros(2, jnp.float64 if False else jnp.float32) for n in names}
 
@@ -46,20 +46,25 @@ def metrics_update(
     acc = _acc(acc, "energy_rmse", jnp.sum(e_err**2), jnp.sum(e_mask))
     acc = _acc(acc, "energy_mae", jnp.sum(jnp.abs(e_err)), jnp.sum(e_mask))
 
-    # force: component-wise (the reference's default Force metric is
-    # vector-RMSE; component MAE also reported — we accumulate per component)
+    # force: the reference's default Force RMSE is VECTOR RMSE —
+    # sqrt(mean over atoms of |dF|^2) (RMSError vdim=3,
+    # error_recorder.py:167-180). Component RMSE kept as force_rmse_comp.
     f_mask = (graph.atom_mask[:, None] & ~jnp.isnan(graph.forces)).astype(dtype)
     f_err = (out["forces"] - jnp.where(f_mask > 0, graph.forces, 0.0)) * f_mask
-    acc = _acc(acc, "force_rmse", jnp.sum(f_err**2), jnp.sum(f_mask))
+    f_atoms = jnp.sum(jnp.max(f_mask, axis=1))
+    acc = _acc(acc, "force_rmse", jnp.sum(f_err**2), f_atoms)
+    acc = _acc(acc, "force_rmse_comp", jnp.sum(f_err**2), jnp.sum(f_mask))
     acc = _acc(acc, "force_mae", jnp.sum(jnp.abs(f_err)), jnp.sum(f_mask))
 
     if "stress" in out and graph.stress is not None:
+        # vector RMSE over the 6 voigt components per structure (vdim=6)
         s_mask = (graph.graph_mask[:, None] & ~jnp.isnan(graph.stress)).astype(dtype)
         s_err = (
             (out["stress"] - jnp.where(s_mask > 0, graph.stress, 0.0))
             * s_mask * TO_KBAR
         )
-        acc = _acc(acc, "stress_rmse", jnp.sum(s_err**2), jnp.sum(s_mask))
+        s_structs = jnp.sum(jnp.max(s_mask, axis=1))
+        acc = _acc(acc, "stress_rmse", jnp.sum(s_err**2), s_structs)
         acc = _acc(acc, "stress_mae", jnp.sum(jnp.abs(s_err)), jnp.sum(s_mask))
     return acc
 

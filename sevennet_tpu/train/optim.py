@@ -22,42 +22,45 @@ __all__ = ["build_optimizer", "build_schedule", "trainable_mask"]
 
 
 def build_schedule(name: str, lr: float, param: Optional[Dict[str, Any]] = None):
+    """Returns a host-side ``epoch -> lr`` callable.
+
+    The reference steps its torch schedulers ONCE PER EPOCH
+    (``scripts/processing_epoch.py`` + ``trainer.py:177-184``), so the
+    schedule argument is the epoch counter, not the optimizer step.
+    """
     param = dict(param or {})
     name = (name or "constant").lower()
     if name in ("constant", "none"):
-        return lr
+        return lambda epoch: lr
     if name == "steplr":
         step_size = int(param.get("step_size", 1))
         gamma = float(param.get("gamma", 0.1))
-        return lambda step: lr * gamma ** (step // step_size)
+        return lambda epoch: lr * gamma ** (epoch // step_size)
     if name == "multisteplr":
         milestones = sorted(int(m) for m in param.get("milestones", []))
         gamma = float(param.get("gamma", 0.1))
-
-        def sched(step):
-            import jax.numpy as jnp
-
-            k = sum((step >= m).astype(int) if hasattr(step, "astype") else (step >= m)
-                    for m in milestones)
-            return lr * gamma**k
-
-        return sched
+        return lambda epoch: lr * gamma ** sum(epoch >= m for m in milestones)
     if name == "exponentiallr":
         gamma = float(param.get("gamma", 0.99))
-        return lambda step: lr * gamma**step
+        return lambda epoch: lr * gamma**epoch
     if name == "cosineannealinglr":
+        import math
+
         t_max = int(param.get("T_max", 100))
         eta_min = float(param.get("eta_min", 0.0))
-        return optax.cosine_decay_schedule(lr, t_max, alpha=eta_min / max(lr, 1e-30))
+        return lambda epoch: eta_min + 0.5 * (lr - eta_min) * (
+            1.0 + math.cos(math.pi * min(epoch, t_max) / t_max)
+        )
     if name == "linearlr":
         start = float(param.get("start_factor", 1.0))
         end = float(param.get("end_factor", 1e-4))
         iters = int(param.get("total_iters", 100))
-        return optax.linear_schedule(lr * start, lr * end, iters)
+        return lambda epoch: lr * (
+            start + (end - start) * min(epoch, iters) / iters
+        )
     if name == "reducelronplateau":
-        # handled at the trainer level (host-side metric-driven factor);
-        # return base lr here
-        return lr
+        # metric-driven factor handled at the trainer level
+        return lambda epoch: lr
     raise ValueError(f"unknown scheduler {name}")
 
 
@@ -69,23 +72,30 @@ def build_optimizer(
     spec: Optional[ModelSpec] = None,
     params=None,
 ):
-    """Build an optax GradientTransformation; if ``spec`` and ``params`` are
-    given, frozen leaves (per spec train flags) get zero updates."""
+    """Build an optax GradientTransformation with unit internal lr, chained
+    with an ``inject_hyperparams(scale)`` whose ``step_size`` the Trainer
+    sets host-side each epoch (schedule x plateau factor) — the per-epoch
+    semantics of the reference's torch schedulers. If ``spec`` and ``params``
+    are given, frozen leaves (per spec train flags) get zero updates.
+    """
     p = dict(optim_param or {})
-    lr_or_sched = schedule if schedule is not None else lr
+    del schedule  # epoch schedules are applied via the injected scale
     name = name.lower()
     if name == "sgd":
-        opt = optax.sgd(lr_or_sched, momentum=p.get("momentum", 0.0))
+        opt = optax.sgd(1.0, momentum=p.get("momentum", 0.0))
     elif name == "adagrad":
-        opt = optax.adagrad(lr_or_sched)
+        opt = optax.adagrad(1.0)
     elif name == "adam":
-        opt = optax.adam(lr_or_sched, **{k: v for k, v in p.items() if k in ("b1", "b2", "eps")})
+        opt = optax.adam(1.0, **{k: v for k, v in p.items() if k in ("b1", "b2", "eps")})
     elif name == "adamw":
-        opt = optax.adamw(lr_or_sched, weight_decay=p.get("weight_decay", 1e-2))
+        opt = optax.adamw(1.0, weight_decay=p.get("weight_decay", 1e-2))
     elif name == "radam":
-        opt = optax.radam(lr_or_sched)
+        opt = optax.radam(1.0)
     else:
         raise ValueError(f"unknown optimizer {name}")
+    opt = optax.chain(
+        opt, optax.inject_hyperparams(optax.scale)(step_size=float(lr))
+    )
 
     if spec is not None and params is not None:
         # NB: optax.masked would pass raw gradients through for frozen leaves

@@ -66,9 +66,9 @@ class Trainer:
         self.spec = spec
         self.config = config or TrainerConfig()
         self.mesh = mesh  # 1-D mesh with axis 'dp', or None for single device
-        # ReduceLROnPlateau is metric-driven: an injected lr scale lives in
-        # the optimizer STATE and is set host-side between epochs (the
-        # reference calls scheduler.step(metric), trainer.py:177-184)
+        # LR is an injected hyperparameter in the optimizer STATE, set
+        # host-side per epoch = schedule(epoch) * plateau factor — matching
+        # the reference's per-epoch scheduler.step() (trainer.py:177-184)
         self._plateau = self.config.scheduler.lower() == "reducelronplateau"
         self._plateau_best = float("inf")
         self._plateau_bad = 0
@@ -76,22 +76,17 @@ class Trainer:
         self._plateau_factor = float(p.get("factor", 0.5))
         self._plateau_patience = int(p.get("patience", 10))
         self._plateau_scale = 1.0
-        sched = build_schedule(
+        self.schedule = build_schedule(
             self.config.scheduler, self.config.lr, self.config.scheduler_param
         )
+        self.sched_epoch0 = 0  # schedule origin (continue.reset_scheduler)
         self.optimizer = build_optimizer(
             self.config.optimizer,
             self.config.lr,
             self.config.optim_param,
-            schedule=sched,
             spec=spec,
             params=params,
         )
-        if self._plateau:
-            self.optimizer = optax.chain(
-                self.optimizer,
-                optax.inject_hyperparams(optax.scale)(step_size=1.0),
-            )
         self.state = TrainState(
             params=params,
             opt_state=self.optimizer.init(params),
@@ -99,6 +94,57 @@ class Trainer:
         )
         self._train_step = None
         self._eval_step = None
+
+    # ------------------------------------------------------------------
+    def _set_lr(self, lr: float):
+        from optax import tree_utils as otu
+
+        self.state = self.state.replace(
+            opt_state=otu.tree_set(self.state.opt_state, step_size=float(lr))
+        )
+
+    def current_lr(self, epoch: int) -> float:
+        return self.schedule(max(epoch - self.sched_epoch0, 0)) * self._plateau_scale
+
+    def set_epoch(self, epoch: int):
+        """Apply the epoch schedule (call before each epoch's batches)."""
+        self._set_lr(self.current_lr(epoch))
+
+    def load_opt_state(self, raw_opt_state):
+        """Restore optimizer state from a checkpoint (msgpack tree or
+        matching pytree) — continue semantics without reset_optimizer."""
+        from flax import serialization
+
+        template = self.optimizer.init(self.state.params)
+        if isinstance(raw_opt_state, bytes):
+            restored = serialization.from_bytes(template, raw_opt_state)
+        else:
+            flat_t, treedef = jax.tree_util.tree_flatten(template)
+            flat_r = jax.tree_util.tree_leaves(raw_opt_state)
+            assert len(flat_t) == len(flat_r), (
+                f"optimizer state mismatch: {len(flat_t)} vs {len(flat_r)} leaves"
+            )
+            restored = jax.tree_util.tree_unflatten(
+                treedef,
+                [jnp.asarray(r, t.dtype).reshape(t.shape) if hasattr(t, "shape")
+                 else r for t, r in zip(flat_t, flat_r)],
+            )
+        self.state = self.state.replace(opt_state=restored)
+
+    def aux_state(self) -> Dict[str, Any]:
+        """Host-side scheduler/plateau state for checkpointing."""
+        return {
+            "plateau_best": self._plateau_best,
+            "plateau_bad": self._plateau_bad,
+            "plateau_scale": self._plateau_scale,
+            "sched_epoch0": self.sched_epoch0,
+        }
+
+    def load_aux_state(self, aux: Dict[str, Any]):
+        self._plateau_best = float(aux.get("plateau_best", float("inf")))
+        self._plateau_bad = int(aux.get("plateau_bad", 0))
+        self._plateau_scale = float(aux.get("plateau_scale", 1.0))
+        self.sched_epoch0 = int(aux.get("sched_epoch0", 0))
 
     # ------------------------------------------------------------------
     def _loss_and_metrics(self, params, graph: GraphBatch):
@@ -184,7 +230,7 @@ class Trainer:
         return self._eval_step(self.state.params, graph)
 
     def plateau_step(self, metric: float):
-        """Reduce the injected lr scale when ``metric`` stops improving."""
+        """Reduce the plateau lr factor when ``metric`` stops improving."""
         if not self._plateau:
             return
         if metric < self._plateau_best - 1e-12:
@@ -195,13 +241,6 @@ class Trainer:
         if self._plateau_bad > self._plateau_patience:
             self._plateau_bad = 0
             self._plateau_scale *= self._plateau_factor
-            from optax import tree_utils as otu
-
-            self.state = self.state.replace(
-                opt_state=otu.tree_set(
-                    self.state.opt_state, step_size=self._plateau_scale
-                )
-            )
 
     def run_epoch(self, loader, train: bool = True) -> Dict[str, float]:
         """loader yields GraphBatch (or device-stacked GraphBatch when a mesh

@@ -162,8 +162,84 @@ def test_plateau_scheduler_reduces_lr():
     )
     from optax import tree_utils as otu
 
-    assert float(otu.tree_get(trainer.state.opt_state, "step_size")) == 1.0
+    lr0 = trainer.config.lr
+    trainer.set_epoch(0)
+    assert abs(float(otu.tree_get(trainer.state.opt_state, "step_size")) - lr0) < 1e-12
     trainer.plateau_step(1.0)   # best
     trainer.plateau_step(1.0)   # bad 1
     trainer.plateau_step(1.0)   # bad 2 -> reduce
-    assert abs(float(otu.tree_get(trainer.state.opt_state, "step_size")) - 0.5) < 1e-9
+    trainer.set_epoch(1)
+    assert abs(
+        float(otu.tree_get(trainer.state.opt_state, "step_size")) - 0.5 * lr0
+    ) < 1e-12
+
+
+def test_epoch_schedule_exponential():
+    import jax
+
+    from sevennet_tpu.model import build_model_spec
+    from sevennet_tpu.model.model import model_init
+    from sevennet_tpu.train import Trainer, TrainerConfig
+    from optax import tree_utils as otu
+
+    cfg = {"cutoff": 4.0, "channel": 4, "lmax": 1, "num_convolution_layer": 2,
+           "chemical_species": ["H", "O"], "conv_denominator": 5.0}
+    spec = build_model_spec(cfg)
+    params = model_init(jax.random.PRNGKey(0), spec)
+    trainer = Trainer(
+        spec, params,
+        TrainerConfig(lr=0.02, scheduler="exponentiallr",
+                      scheduler_param={"gamma": 0.5}),
+    )
+    trainer.set_epoch(3)
+    got = float(otu.tree_get(trainer.state.opt_state, "step_size"))
+    assert abs(got - 0.02 * 0.5**3) < 1e-12
+    # reset_scheduler semantics: shift the schedule origin
+    trainer.sched_epoch0 = 3
+    trainer.set_epoch(3)
+    got = float(otu.tree_get(trainer.state.opt_state, "step_size"))
+    assert abs(got - 0.02) < 1e-12
+
+
+def test_kill_and_resume_reproduces_run(tiny_dataset, tmp_path):
+    """Continue restores params+optimizer+epoch: a 2+2-epoch split run must
+    equal an uninterrupted 4-epoch run (reference processing_continue.py)."""
+    import jax
+
+    from sevennet_tpu.scripts.train import train_run
+
+    model_cfg = {
+        "cutoff": 4.0, "channel": 4, "lmax": 1, "is_parity": False,
+        "num_convolution_layer": 2, "chemical_species": "auto",
+        "conv_denominator": 10.0, "shift": 0.0, "scale": 1.0,
+    }
+    data_cfg = {"load_trainset_path": [tiny_dataset], "batch_size": 4}
+    tcfg = {"epoch": 4, "optimizer": "adam", "optim_param": {"lr": 0.005},
+            "scheduler": "exponentiallr", "scheduler_param": {"gamma": 0.5},
+            "train_shuffle": False, "per_epoch": 2}
+
+    t_full = train_run(dict(model_cfg), dict(tcfg), dict(data_cfg),
+                       working_dir=str(tmp_path / "full"), max_epochs=4)
+
+    t_a = train_run(dict(model_cfg), dict(tcfg), dict(data_cfg),
+                    working_dir=str(tmp_path / "half"), max_epochs=2)
+    tcfg2 = dict(tcfg)
+    tcfg2["continue"] = {"checkpoint": str(tmp_path / "half" / "checkpoint_last")}
+    t_b = train_run(dict(model_cfg), tcfg2, dict(data_cfg),
+                    working_dir=str(tmp_path / "resumed"), max_epochs=2)
+
+    pf = jax.tree_util.tree_leaves(t_full.state.params)
+    pr = jax.tree_util.tree_leaves(t_b.state.params)
+    for a, b in zip(pf, pr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_unknown_config_key_rejected():
+    from sevennet_tpu.config import config_from_dicts
+
+    with pytest.raises(ValueError, match="unknown train config key"):
+        config_from_dicts({
+            "model": {"cutoff": 4.0, "num_convolution_layer": 2},
+            "train": {"opitmizer": "adam"},
+            "data": {},
+        })
