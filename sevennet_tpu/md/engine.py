@@ -21,7 +21,12 @@ import numpy as np
 from ..data.graph import GraphBatch
 from ..model.build import ModelSpec
 from ..model.model import model_compute
-from .integrators import langevin_step, nve_step
+from .integrators import (
+    berendsen_npt_step,
+    langevin_step,
+    nose_hoover_step,
+    nve_step,
+)
 from .neighbor import CellListSpec, build_cell_list_spec, rebuild_neighbors
 from .state import ATOMIC_MASSES, MDState, init_md_state
 
@@ -120,14 +125,22 @@ class MDEngine:
             n_edges_cap=self.cl_spec.edge_capacity(n),
         )
         state = self._rebuild(state)
-        forces, energy = self._forces_jit(state)
-        return state.replace(forces=forces, potential_energy=energy)
+        forces, energy, stress = self._forces_jit(state)
+        return state.replace(
+            forces=forces, potential_energy=energy, stress=stress
+        )
 
     # -- internals -----------------------------------------------------------
     def _rebuild(self, state: MDState) -> MDState:
         src, dst, shift, mask, overflow, pos_w = rebuild_neighbors(
-            self.cl_spec, state.positions, jnp.asarray(self.cell, state.positions.dtype),
-            state.atom_mask,
+            self.cl_spec, state.positions, state.cell, state.atom_mask
+        )
+        # NPT can shrink the box: grid cells must stay >= cutoff+skin
+        inv = jnp.linalg.inv(state.cell)
+        heights = 1.0 / jnp.linalg.norm(inv.T, axis=1)
+        too_small = jnp.any(
+            heights / jnp.asarray(self.cl_spec.n_cells, heights.dtype)
+            < self.cl_spec.cutoff
         )
         return state.replace(
             positions=pos_w,
@@ -136,28 +149,40 @@ class MDEngine:
             edge_dst=dst,
             edge_shift=shift,
             edge_mask=mask,
-            nl_overflow=state.nl_overflow | overflow,
+            nl_overflow=state.nl_overflow | overflow | too_small,
         )
 
-    def _forces(self, state: MDState):
-        cell = jnp.asarray(self.cell, state.positions.dtype)
-        graph = _graph_from_state(state, cell)
+    def _forces(self, state: MDState, compute_stress: bool = False):
+        graph = _graph_from_state(state, state.cell)
         with jax.default_matmul_precision(self.precision):
-            out = model_compute(self.spec, self.params, graph, compute_stress=False)
-        return out["forces"], out["energy"][0]
+            out = model_compute(
+                self.spec, self.params, graph, compute_stress=compute_stress
+            )
+        stress = (
+            out["stress"][0]
+            if compute_stress
+            else jnp.zeros(6, state.positions.dtype)
+        )
+        return out["forces"], out["energy"][0], stress
 
     def _forces_jit(self, state: MDState):
         # jitted wrapper for host-side calls (eager evaluation materializes
         # every intermediate and can exhaust HBM on big systems)
         if "forces" not in self._run_cache:
-            self._run_cache["forces"] = jax.jit(self._forces)
+            self._run_cache["forces"] = jax.jit(
+                partial(self._forces, compute_stress=True)
+            )
         return self._run_cache["forces"](state)
 
     def _step_fn(self, integrator: str, dt: float, **kw):
         skin_half_sq = (self.skin / 2.0) ** 2
+        need_stress = integrator in ("npt_berendsen",) or kw.get(
+            "compute_stress", False
+        )
+        kw = {k: v for k, v in kw.items() if k != "compute_stress"}
 
         def forces_fn(state):
-            return self._forces(state)
+            return self._forces(state, compute_stress=need_stress)
 
         def maybe_rebuild(state):
             disp = state.positions - state.nl_positions
@@ -167,19 +192,31 @@ class MDEngine:
             return jax.lax.cond(need, self._rebuild, lambda s: s, state)
 
         if integrator == "nve":
-            def step(state, _):
-                state = maybe_rebuild(state)
-                state = nve_step(state, forces_fn, dt)
-                return state, (state.potential_energy, state.kinetic_energy())
+            inner = lambda s: nve_step(s, forces_fn, dt)
         elif integrator == "langevin":
-            def step(state, _):
-                state = maybe_rebuild(state)
-                state = langevin_step(
-                    state, forces_fn, dt, kw["temperature"], kw.get("friction", 0.01)
-                )
-                return state, (state.potential_energy, state.kinetic_energy())
+            inner = lambda s: langevin_step(
+                s, forces_fn, dt, kw["temperature"], kw.get("friction", 0.01)
+            )
+        elif integrator in ("nose_hoover", "nvt"):
+            inner = lambda s: nose_hoover_step(
+                s, forces_fn, dt, kw["temperature"], kw.get("tau", 50.0)
+            )
+        elif integrator == "npt_berendsen":
+            inner = lambda s: berendsen_npt_step(
+                s, forces_fn, dt, kw["temperature"],
+                pressure=kw.get("pressure", 0.0),
+                tau_t=kw.get("tau_t", 100.0),
+                tau_p=kw.get("tau_p", 1000.0),
+                compressibility=kw.get("compressibility", 4.6e-5),
+            )
         else:
             raise ValueError(integrator)
+
+        def step(state, _):
+            state = maybe_rebuild(state)
+            state = inner(state)
+            return state, (state.potential_energy, state.kinetic_energy())
+
         return step
 
     # -- public --------------------------------------------------------------
@@ -190,12 +227,26 @@ class MDEngine:
         dt: float = 1.0,
         integrator: str = "nve",
         chunk: int = 10,
+        traj_path: Optional[str] = None,
+        traj_every: int = 0,
         **kw,
     ):
         """Run ``n_steps`` as host-looped jitted scans of fixed ``chunk``
         length (one compilation serves any total step count); returns
-        (state, (pe, ke)) trajectories. Checks the overflow flag on exit."""
+        (state, (pe, ke)) trajectories. Checks the overflow flag on exit.
+
+        ``traj_path`` + ``traj_every`` append extxyz frames every
+        ``traj_every`` steps (rounded to chunk boundaries; frames carry
+        energy, forces and the current cell — readable by
+        :mod:`sevennet_tpu.data.extxyz`).
+        """
         traj_pe, traj_ke = [], []
+        if traj_path and traj_every <= 0:
+            traj_every = chunk
+        steps_done = 0
+        next_dump = traj_every
+        if traj_path:
+            self._dump_frame(state, traj_path, append=False)
         for length in [chunk] * (n_steps // chunk) + (
             [n_steps % chunk] if n_steps % chunk else []
         ):
@@ -211,9 +262,30 @@ class MDEngine:
             state, (pe, ke) = self._run_cache[key](state)
             traj_pe.append(pe)
             traj_ke.append(ke)
+            steps_done += length
+            if traj_path and steps_done >= next_dump:
+                self._dump_frame(state, traj_path, append=True)
+                next_dump += traj_every
         if bool(state.nl_overflow):
             raise RuntimeError(
                 "neighbor-list capacity overflow during MD; rebuild the engine "
                 "with a larger CellListSpec (capacity_factor/neighbor_capacity)"
             )
         return state, (jnp.concatenate(traj_pe), jnp.concatenate(traj_ke))
+
+    def _dump_frame(self, state: MDState, path: str, append: bool):
+        from ..atoms import AtomsLite
+        from ..data.extxyz import write_extxyz
+
+        n = int(np.sum(np.asarray(state.atom_mask)))
+        t2z = {int(t): int(z) for z, t in enumerate(self.spec.z_to_type) if t >= 0}
+        Z = np.array([t2z[int(t)] for t in np.asarray(state.species)[:n]])
+        frame = AtomsLite(
+            positions=np.asarray(state.positions)[:n],
+            numbers=Z,
+            cell=np.asarray(state.cell),
+            pbc=True,
+            energy=float(state.potential_energy),
+            forces=np.asarray(state.forces)[:n],
+        )
+        write_extxyz(path, [frame], append=append)

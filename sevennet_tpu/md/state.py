@@ -56,6 +56,8 @@ class MDState:
     edge_mask: jnp.ndarray  # (E,) bool
     nl_overflow: jnp.ndarray  # () bool - neighbor capacity exceeded
     potential_energy: jnp.ndarray  # ()
+    stress: jnp.ndarray  # (6,) voigt eV/A^3 (zeros unless engine computes it)
+    thermo: jnp.ndarray  # (2, 3) Nose-Hoover chain (xi, v_xi) per link
 
     @property
     def n_atoms_cap(self):
@@ -70,6 +72,18 @@ class MDState:
     def temperature(self):
         ndof = 3 * jnp.maximum(jnp.sum(self.atom_mask), 1)
         return 2.0 * self.kinetic_energy() / (ndof * KB_EV)
+
+    def volume(self):
+        return jnp.abs(jnp.linalg.det(self.cell))
+
+    def pressure(self):
+        """Total pressure (eV/A^3): virial + kinetic ideal-gas term.
+        Requires the engine to have filled ``stress``. The model's internal
+        stress convention has P = +trace/3 (= -dE/dV, FD-validated in
+        test_md.py); the ASE-facing calculator flips the sign."""
+        p_virial = (self.stress[0] + self.stress[1] + self.stress[2]) / 3.0
+        p_kin = 2.0 * self.kinetic_energy() / (3.0 * self.volume())
+        return p_virial + p_kin
 
 
 def init_md_state(
@@ -129,4 +143,6 @@ def init_md_state(
         edge_mask=jnp.zeros(n_edges_cap, bool),
         nl_overflow=jnp.asarray(False),
         potential_energy=jnp.asarray(0.0, dtype),
+        stress=jnp.zeros(6, dtype),
+        thermo=jnp.zeros((2, 3), dtype),
     )
