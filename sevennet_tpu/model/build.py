@@ -124,6 +124,8 @@ class ModelSpec:
     # multi-fidelity (appended 0e one-hot into selected linears)
     num_modalities: int = 0
     modal_map: Tuple[Tuple[str, int], ...] = ()
+    # deploy-time modality pin (select_modality): overrides graph.modal
+    pinned_modal: int = -1  # -1 = not pinned
     # memory policy: rematerialize each interaction layer in backward, and
     # optionally stream edges through the convolution in fixed-size chunks
     # (bounds the (E, dim_mid) message buffer — the XLA analogue of the
@@ -378,6 +380,7 @@ def build_model_spec(config: Dict[str, Any]) -> ModelSpec:
         use_bias=use_bias,
         num_modalities=num_modalities,
         modal_map=tuple(sorted(dict(modal_map).items(), key=lambda kv: kv[1])),
+        pinned_modal=int(cfg.get("_pinned_modal", -1)),
         use_modal_wise_shift=bool(cfg.get("use_modal_wise_shift", False)),
         use_modal_wise_scale=bool(cfg.get("use_modal_wise_scale", False)),
         modal_linears=tuple(modal_linears),

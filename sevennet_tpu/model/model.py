@@ -282,9 +282,13 @@ def model_energy(
 
     # multi-fidelity: per-atom modality one-hot appended to selected linears
     if spec.num_modalities > 1:
-        modal = graph.modal if graph.modal is not None else jnp.zeros(
-            graph.n_graphs_cap, jnp.int32
-        )
+        if spec.pinned_modal >= 0:
+            # deploy-time pin (select_modality): ignore graph.modal
+            modal = jnp.full(graph.n_graphs_cap, spec.pinned_modal, jnp.int32)
+        elif graph.modal is not None:
+            modal = graph.modal
+        else:
+            modal = jnp.zeros(graph.n_graphs_cap, jnp.int32)
         modal_oh = jax.nn.one_hot(modal, spec.num_modalities, dtype=dtype)[
             graph.batch
         ]
@@ -364,11 +368,13 @@ def model_energy(
 
     rs = params["rescale_atomic_energy"]
     if spec.rescale_mode == "modal":
-        modal_idx = (
-            graph.modal if graph.modal is not None else jnp.zeros(
-                graph.n_graphs_cap, jnp.int32
-            )
-        )[graph.batch]
+        if spec.pinned_modal >= 0:
+            modal_g = jnp.full(graph.n_graphs_cap, spec.pinned_modal, jnp.int32)
+        elif graph.modal is not None:
+            modal_g = graph.modal
+        else:
+            modal_g = jnp.zeros(graph.n_graphs_cap, jnp.int32)
+        modal_idx = modal_g[graph.batch]
         shift = (
             rs["shift"][modal_idx, graph.species]
             if spec.use_modal_wise_shift

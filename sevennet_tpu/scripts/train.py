@@ -27,13 +27,20 @@ from ..train.trainer import Trainer, TrainerConfig
 __all__ = ["train_from_yaml", "train_run"]
 
 
-def _resolve_statistics(model_cfg: Dict, data_cfg: Dict, trainset: GraphDataset, log: Logger):
+def _resolve_statistics(model_cfg: Dict, data_cfg: Dict, trainset, log: Logger):
     """Replace string placeholders (shift/scale/conv_denominator) with
-    dataset statistics, mirroring ``graph_dataset.from_config`` (:682-692)."""
+    dataset statistics, mirroring ``graph_dataset.from_config`` (:682-692).
+    For multi-modal datasets, modal-wise shift/scale resolve to per-modality
+    lists; otherwise combined statistics are used
+    (``modal_dataset.py:29-130`` pooling)."""
     for key, holder in (("shift", model_cfg), ("scale", model_cfg)):
         v = data_cfg.get(key, holder.get(key))
         if isinstance(v, str):
-            v = getattr(trainset, v)
+            modal_wise = bool(model_cfg.get(f"use_modal_wise_{key}", False))
+            if not modal_wise and hasattr(trainset, v + "_combined"):
+                v = getattr(trainset, v + "_combined")
+            else:
+                v = getattr(trainset, v)
             log.format_k_v(f"{key} (from statistics)", v if np.isscalar(v) else "per-element list")
         holder[key] = v
     cd = model_cfg.get("conv_denominator")
@@ -59,14 +66,41 @@ def train_run(
     log.writeline("SevenNet-TPU training")
     log.timer_start("total")
 
-    # datasets
+    # datasets — multi-modal when entries carry 'data_modality'
+    # (the reference's multi_modal.yaml format)
     cutoff = float(model_cfg["cutoff"])
     train_paths = data_cfg["load_trainset_path"]
     assert train_paths, "data.load_trainset_path must be given"
-    trainset = GraphDataset.from_extxyz(train_paths, cutoff)
+    multimodal = (
+        isinstance(train_paths, list)
+        and train_paths
+        and isinstance(train_paths[0], dict)
+        and "data_modality" in train_paths[0]
+    )
+    if multimodal:
+        from ..data.modal_dataset import MultiModalDataset
+
+        trainset = MultiModalDataset.from_config(
+            train_paths, cutoff, model_cfg.get("modal_map") or None
+        )
+        model_cfg["use_modality"] = True
+        model_cfg.setdefault("num_modalities", len(trainset.modal_map))
+        model_cfg.setdefault("modal_map", dict(trainset.modal_map))
+        log.format_k_v("modalities", sorted(trainset.modal_map))
+    else:
+        trainset = GraphDataset.from_extxyz(train_paths, cutoff)
     validset = None
     if data_cfg.get("load_validset_path"):
-        validset = GraphDataset.from_extxyz(data_cfg["load_validset_path"], cutoff)
+        if multimodal:
+            from ..data.modal_dataset import MultiModalDataset
+
+            validset = MultiModalDataset.from_config(
+                data_cfg["load_validset_path"], cutoff, model_cfg["modal_map"]
+            )
+        else:
+            validset = GraphDataset.from_extxyz(
+                data_cfg["load_validset_path"], cutoff
+            )
     elif float(data_cfg.get("ratio", 0.0)) > 0:
         trainset, validset = trainset.split(float(data_cfg["ratio"]))
     log.format_k_v("# train structures", len(trainset))

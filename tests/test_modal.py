@@ -115,3 +115,96 @@ def test_append_modality(modal_model):
     e1 = float(compute(spec2, params2, gb1)["energy"][0])
     e2 = float(compute(spec2, params2, gb2)["energy"][0])
     assert abs(e1 - e2) < 1e-5
+
+
+def test_pinned_modal(modal_model):
+    """select_modality pins the modality: pinned spec output == unpinned
+    with graph.modal set to that index, regardless of graph.modal."""
+    import dataclasses
+
+    spec, params = modal_model
+    rng = np.random.default_rng(1)
+    pos = rng.uniform(0, 6, (8, 3))
+    Z = rng.choice([72, 8], 8)
+    gb0 = build_graph(spec, pos, Z, np.eye(3) * 6.0)
+    gb1 = gb0.replace(modal=gb0.modal + 1)  # modality 1
+
+    spec_pin = dataclasses.replace(spec, pinned_modal=1)
+    e_ref = float(compute(spec, params, gb1)["energy"][0])
+    e_pin0 = float(compute(spec_pin, params, gb0)["energy"][0])
+    e_unpinned0 = float(compute(spec, params, gb0)["energy"][0])
+    assert abs(e_pin0 - e_ref) < 1e-6
+    assert abs(e_pin0 - e_unpinned0) > 1e-6
+
+
+def test_select_modality_tool(modal_model):
+    from sevennet_tpu.model import build_model_spec
+    from sevennet_tpu.scripts.modal_tools import select_modality
+
+    cfg = dict(MODAL_CONFIG)
+    cfg2, params2 = select_modality(cfg, modal_model[1], "scan")
+    spec2 = build_model_spec(cfg2)
+    assert spec2.pinned_modal == 1
+
+
+def test_multimodal_dataset_and_training(tmp_path):
+    """Two-modality training end-to-end: combined statistics, per-graph
+    modality in batches, loss decreases."""
+    from sevennet_tpu.atoms import AtomsLite
+    from sevennet_tpu.data.extxyz import write_extxyz
+    from sevennet_tpu.data.modal_dataset import MultiModalDataset
+    from sevennet_tpu.scripts.train import train_run
+
+    rng = np.random.default_rng(3)
+    for name, e_base in (("pbe", -1.0), ("scan", -2.0)):
+        frames = []
+        for i in range(6):
+            n = 5
+            pos = rng.uniform(0, 6, (n, 3))
+            frames.append(AtomsLite(
+                positions=pos, numbers=rng.choice([8, 1], n),
+                cell=np.eye(3) * 6.0, pbc=True,
+                energy=e_base * n + 0.05 * rng.normal(),
+                forces=rng.normal(size=(n, 3)) * 0.1,
+            ))
+        write_extxyz(str(tmp_path / f"{name}.extxyz"), frames)
+
+    entries = [
+        {"data_modality": "pbe",
+         "file_list": [{"file": str(tmp_path / "pbe.extxyz")}],
+         "data_weight": {"energy": 1.0, "force": 0.5}},
+        {"data_modality": "scan",
+         "file_list": [{"file": str(tmp_path / "scan.extxyz")}]},
+    ]
+    mm = MultiModalDataset.from_config(entries, 4.0)
+    assert sorted(mm.modal_map) == ["pbe", "scan"]
+    # modal-wise per-atom energy means differ by construction
+    means = mm.per_atom_energy_mean
+    assert means[0] > means[1]
+    assert np.isfinite(mm.force_rms) and mm.force_rms > 0
+    # data weights folded into structures
+    g = mm.datasets["pbe"].build(np.arange(120)).graphs[0]
+    assert abs(float(g.data_weight[0][1]) - 0.5) < 1e-6
+
+    model_cfg = {
+        "cutoff": 4.0, "channel": 4, "lmax": 1, "is_parity": False,
+        "num_convolution_layer": 2, "chemical_species": "auto",
+        "conv_denominator": 8.0,
+        "use_modality": True,
+        "use_modal_self_inter_intro": True,
+        "use_modal_output_block": True,
+        "use_modal_wise_shift": True,
+        "shift": "per_atom_energy_mean", "scale": 1.0,
+    }
+    tcfg = {"epoch": 4, "optim_param": {"lr": 0.01}, "train_shuffle": True,
+            "per_epoch": 10}
+    data_cfg = {"load_trainset_path": entries, "batch_size": 4}
+    train_run(model_cfg, tcfg, data_cfg, working_dir=str(tmp_path / "run"),
+              max_epochs=4)
+    import csv
+
+    with open(tmp_path / "run" / "lc.csv") as f:
+        rows = list(csv.DictReader(f))
+    first = float(rows[0]["train_loss_total"])
+    last = float(rows[-1]["train_loss_total"])
+    assert last < first, (first, last)
