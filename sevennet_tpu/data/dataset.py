@@ -177,12 +177,14 @@ class GraphDataset:
         pad_multiple: int = 64,
         drop_last: bool = False,
         lazy: bool = False,
+        dense_k: int = 0,
     ) -> Iterator[GraphBatch]:
         """Yield padded batches. Capacities are rounded up to multiples so
         similar batches share compiled programs. With ``lazy=True``, graphs
         are built on the fly per batch (the reference's memory-light
         ``SevenNetAtomsDataset``, ``train/atoms_dataset.py:27-112``) —
-        ``build()`` is not required."""
+        ``build()`` is not required. ``dense_k > 0`` emits the dense (N, K)
+        edge layout for the fused convolution."""
         if lazy:
             n_items = len(self.atoms_list)
         else:
@@ -213,7 +215,18 @@ class GraphDataset:
                 n_atoms_cap=rup(n_at + 1),
                 n_edges_cap=rup(n_ed + 1),
                 n_graphs_cap=batch_size + 1,
+                dense_k=dense_k,
             )
+
+    def max_neighbors(self) -> int:
+        """Max per-atom neighbor count over built graphs (for dense_k)."""
+        assert self.graphs, "call build() first"
+        mx = 0
+        for g in self.graphs:
+            dst = np.asarray(g.edge_dst)
+            if len(dst):
+                mx = max(mx, int(np.bincount(dst).max()))
+        return mx
 
     # -- disk cache (the reference caches processed graphs + stats yaml,
     #    graph_dataset.py:133-549) ---------------------------------------------

@@ -140,14 +140,59 @@ def _pad_to(arr: np.ndarray, n: int, fill=0):
     return np.concatenate([np.asarray(arr), pad_block], axis=0)
 
 
+def densify_edges(
+    edge_src: np.ndarray,
+    edge_dst: np.ndarray,
+    edge_shift: np.ndarray,
+    edge_mask: np.ndarray,
+    n_cap: int,
+    k_cap: int,
+    dtype=np.float32,
+):
+    """Redistribute a flat dst-sorted edge list into the dense (N, K) slot
+    layout the fused convolution consumes (flat row = i*K + k, receiver i).
+
+    Padded slots get ``src = dst = owner`` (self-gather, masked); raises if
+    any atom has more than ``k_cap`` neighbors.
+    """
+    real = np.flatnonzero(edge_mask)
+    dst = edge_dst[real]
+    counts = np.bincount(dst, minlength=n_cap)
+    if counts.max(initial=0) > k_cap:
+        raise ValueError(
+            f"dense neighbor capacity {k_cap} < max neighbor count "
+            f"{int(counts.max())}"
+        )
+    # slot index within each receiver group (edges are dst-sorted)
+    starts = np.zeros(n_cap + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(len(dst)) - starts[dst]
+    flat = dst.astype(np.int64) * k_cap + slot
+    owner = (np.arange(n_cap * k_cap) // k_cap).astype(np.int32)
+    src_d = owner.copy()
+    dst_d = owner.copy()
+    shift_d = np.zeros((n_cap * k_cap, 3), dtype)
+    mask_d = np.zeros(n_cap * k_cap, bool)
+    src_d[flat] = edge_src[real]
+    shift_d[flat] = edge_shift[real]
+    mask_d[flat] = True
+    return src_d, dst_d, shift_d, mask_d
+
+
 def batch_graphs(
     graphs: Sequence[GraphBatch],
     n_atoms_cap: Optional[int] = None,
     n_edges_cap: Optional[int] = None,
     n_graphs_cap: Optional[int] = None,
     dtype=np.float32,
+    dense_k: int = 0,
 ) -> GraphBatch:
-    """Concatenate single graphs into one padded batch (host-side)."""
+    """Concatenate single graphs into one padded batch (host-side).
+
+    ``dense_k > 0`` emits edges in the dense (N, K) slot layout (row-major
+    by receiver) that the fused/dense convolution consumes
+    (``ModelSpec.edge_dense_k``); the flat segment-sum path also accepts it.
+    """
     gs = [jnp_to_np(g) for g in graphs]
     n_tot = sum(g["positions"].shape[0] for g in gs)
     e_tot = sum(g["edge_src"].shape[0] for g in gs)
@@ -188,11 +233,22 @@ def batch_graphs(
     atom_mask = _pad_to(np.ones((n_tot,), bool), n_cap, fill=False)
     batch = _pad_to(cat(bat).astype(np.int32), n_cap, fill=g_cap - 1)
     forces = _pad_to(cat(f).astype(dtype), n_cap)
-    edge_src = _pad_to(cat(esrc).astype(np.int32), e_cap)
-    # pad receivers with the LAST atom slot to keep edge_dst sorted
-    edge_dst = _pad_to(cat(edst).astype(np.int32), e_cap, fill=n_cap - 1)
-    edge_shift = _pad_to(cat(eshift).astype(dtype), e_cap)
-    edge_mask = _pad_to(np.ones((e_tot,), bool), e_cap, fill=False)
+    if dense_k > 0:
+        edge_src, edge_dst, edge_shift, edge_mask = densify_edges(
+            cat(esrc).astype(np.int32),
+            cat(edst).astype(np.int32),
+            cat(eshift).astype(dtype),
+            np.ones((e_tot,), bool),
+            n_cap,
+            dense_k,
+            dtype,
+        )
+    else:
+        edge_src = _pad_to(cat(esrc).astype(np.int32), e_cap)
+        # pad receivers with the LAST atom slot to keep edge_dst sorted
+        edge_dst = _pad_to(cat(edst).astype(np.int32), e_cap, fill=n_cap - 1)
+        edge_shift = _pad_to(cat(eshift).astype(dtype), e_cap)
+        edge_mask = _pad_to(np.ones((e_tot,), bool), e_cap, fill=False)
     cell = _pad_to(np.stack(cells).astype(dtype), g_cap)
     volume = _pad_to(np.asarray(vols, dtype), g_cap, fill=1.0)
     num_atoms = _pad_to(np.asarray(natoms, np.int32), g_cap, fill=1)

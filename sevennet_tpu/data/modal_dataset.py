@@ -178,6 +178,7 @@ class MultiModalDataset:
         seed: int = 0,
         pad_multiple: int = 64,
         drop_last: bool = False,
+        dense_k: int = 0,
     ) -> Iterator[GraphBatch]:
         """Globally shuffled padded batches; every graph carries its
         modality index (GraphBatch.modal)."""
@@ -207,4 +208,5 @@ class MultiModalDataset:
                 n_atoms_cap=caps[0],
                 n_edges_cap=caps[1],
                 n_graphs_cap=batch_size,
+                dense_k=dense_k,
             )

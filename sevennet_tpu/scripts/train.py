@@ -123,6 +123,24 @@ def train_run(
     if validset:
         validset.build(z2t)
 
+    # dense (N, K) edge layout for the fused/dense convolution (the fast
+    # conv path on TPU); capacity = max neighbor count + margin
+    dense_k = 0
+    if bool(model_cfg.get("_conv_dense", True)):
+        import dataclasses
+
+        def _maxnb(ds):
+            if hasattr(ds, "datasets"):
+                return max(d.max_neighbors() for d in ds.datasets.values())
+            return ds.max_neighbors()
+
+        k_max = _maxnb(trainset)
+        if validset:
+            k_max = max(k_max, _maxnb(validset))
+        dense_k = -(-int(np.ceil(k_max * 1.1) + 1) // 8) * 8
+        spec = dataclasses.replace(spec, edge_dense_k=dense_k)
+        log.format_k_v("dense neighbor capacity", dense_k)
+
     # continue?
     import jax
 
@@ -135,6 +153,10 @@ def train_run(
 
         spec_cp, params, meta = load_checkpoint(cont["checkpoint"])
         spec = spec_cp
+        if dense_k:
+            import dataclasses
+
+            spec = dataclasses.replace(spec, edge_dense_k=dense_k)
         cont_meta = meta
         if not cont.get("reset_epoch"):
             start_epoch = int(meta.get("epoch", 0))
@@ -212,12 +234,19 @@ def train_run(
         log.timer_start("epoch")
         trainer.set_epoch(epoch - 1)  # lr for this epoch
         tr = trainer.run_epoch(
-            trainset.batches(batch_size, shuffle=bool(train_cfg.get("train_shuffle", True)), seed=epoch),
+            trainset.batches(
+                batch_size,
+                shuffle=bool(train_cfg.get("train_shuffle", True)),
+                seed=epoch,
+                dense_k=dense_k,
+            ),
             train=True,
         )
         rows = {"train": tr}
         if validset:
-            va = trainer.run_epoch(validset.batches(batch_size), train=False)
+            va = trainer.run_epoch(
+                validset.batches(batch_size, dense_k=dense_k), train=False
+            )
             rows["valid"] = va
         lc.append(epoch, rows)
         key_metrics = rows.get("valid", rows["train"])
