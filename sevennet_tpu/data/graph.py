@@ -54,6 +54,9 @@ class GraphBatch:
     modal: Optional[jnp.ndarray] = None  # (G,) int32
     # optional per-structure loss weights (reference loss.py:115-120)
     data_weight: Optional[jnp.ndarray] = None  # (G, 3): energy/force/stress
+    # optional mirror-edge index (flat, dense layout) for the fused conv
+    # backward (ops/fused_conv.mirror_map)
+    edge_mir: Optional[jnp.ndarray] = None  # (E,) int32
 
     @property
     def n_atoms_cap(self) -> int:

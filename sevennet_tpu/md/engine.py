@@ -45,6 +45,7 @@ def _graph_from_state(state: MDState, cell) -> GraphBatch:
         edge_dst=state.edge_dst,
         edge_shift=state.edge_shift,
         edge_mask=state.edge_mask,
+        edge_mir=state.edge_mir,
         cell=cell[None],
         volume=volume[None],
         num_atoms=jnp.sum(state.atom_mask).astype(jnp.int32)[None],
@@ -62,10 +63,16 @@ class MDEngine:
         matmul_precision: str = "highest",
         cl_spec: Optional[CellListSpec] = None,
         dense: bool = True,
+        fused: Optional[bool] = None,
+        param_grads_in_fused: bool = False,
     ):
         """``dense=True`` keeps the cell list's (N, K) slot layout and runs
-        the dense-neighbor convolution (fastest on TPU); ``dense=False``
-        compacts edges to a flat list (less padding, slower conv)."""
+        the dense-neighbor convolution; ``fused`` additionally switches to
+        the Pallas fused conv kernels (feature-major fwd + mirror-reduced
+        bwd) — the fastest path, default on TPU (interpret mode elsewhere
+        is too slow, so it defaults off)."""
+        import jax as _jax
+
         self.spec = spec
         self.params = params
         self.cell = np.asarray(cell, dtype=np.float64)
@@ -73,6 +80,10 @@ class MDEngine:
         self.precision = matmul_precision
         self.cl_spec = cl_spec
         self.dense = dense
+        if fused is None:
+            fused = _jax.default_backend() == "tpu"
+        self.fused = bool(fused) and dense
+        self._fused_param_grads = bool(param_grads_in_fused)
         self._run_cache: Dict = {}
 
     # -- setup ---------------------------------------------------------------
@@ -103,15 +114,31 @@ class MDEngine:
                 self.cell, n, self.spec.cutoff, self.skin,
                 neighbor_capacity=k_cap,
             )
+        n_atoms_cap = n
         if self.dense:
-            # dense conv consumes the full (N, K) slot grid directly
-            self.cl_spec = dataclasses.replace(self.cl_spec, edge_cap=0)
-            if self.spec.edge_dense_k != self.cl_spec.neighbor_capacity:
+            # dense conv consumes the full (N, K) slot grid directly; the
+            # fused kernel needs K % 8 == 0 and N divisible by its block
+            k_cap2 = self.cl_spec.neighbor_capacity
+            if self.fused:
+                k_cap2 = -(-k_cap2 // 8) * 8
+                from ..ops.fused_conv import fused_conv_block_atoms
+
+                A = fused_conv_block_atoms(k_cap2)
+                n_atoms_cap = -(-n // A) * A
+            self.cl_spec = dataclasses.replace(
+                self.cl_spec, edge_cap=0, neighbor_capacity=k_cap2
+            )
+            if (
+                self.spec.edge_dense_k != self.cl_spec.neighbor_capacity
+                or self.spec.conv_fused != self.fused
+            ):
                 # edge_chunk is reused by the dense path as the atom-block
                 # streaming granularity (chunk // K atoms per block)
                 self.spec = dataclasses.replace(
                     self.spec,
                     edge_dense_k=self.cl_spec.neighbor_capacity,
+                    conv_fused=self.fused,
+                    conv_param_grads=self._fused_param_grads,
                 )
         species = self.spec.z_to_type[np.asarray(atomic_numbers)]
         assert (species >= 0).all(), "unknown species for this model"
@@ -122,7 +149,9 @@ class MDEngine:
             atomic_numbers=atomic_numbers,
             temperature=temperature,
             seed=seed,
-            n_edges_cap=self.cl_spec.edge_capacity(n),
+            n_atoms_cap=n_atoms_cap,
+            n_edges_cap=self.cl_spec.edge_capacity(n_atoms_cap),
+            with_mirror=self.fused,
         )
         state = self._rebuild(state)
         forces, energy, stress = self._forces_jit(state)
@@ -135,6 +164,16 @@ class MDEngine:
         src, dst, shift, mask, overflow, pos_w = rebuild_neighbors(
             self.cl_spec, state.positions, state.cell, state.atom_mask
         )
+        edge_mir = state.edge_mir
+        if self.fused:
+            from ..ops.fused_conv import mirror_map
+
+            K = self.cl_spec.neighbor_capacity
+            n = state.n_atoms_cap
+            edge_mir = mirror_map(
+                src.reshape(n, K), shift.reshape(n, K, 3),
+                mask.reshape(n, K),
+            ).reshape(-1)
         # NPT can shrink the box: grid cells must stay >= cutoff+skin
         inv = jnp.linalg.inv(state.cell)
         heights = 1.0 / jnp.linalg.norm(inv.T, axis=1)
@@ -149,6 +188,7 @@ class MDEngine:
             edge_dst=dst,
             edge_shift=shift,
             edge_mask=mask,
+            edge_mir=edge_mir,
             nl_overflow=state.nl_overflow | overflow | too_small,
         )
 

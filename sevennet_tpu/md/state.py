@@ -58,6 +58,7 @@ class MDState:
     potential_energy: jnp.ndarray  # ()
     stress: jnp.ndarray  # (6,) voigt eV/A^3 (zeros unless engine computes it)
     thermo: jnp.ndarray  # (2, 3) Nose-Hoover chain (xi, v_xi) per link
+    edge_mir: Optional[jnp.ndarray] = None  # (E,) mirror map (fused conv)
 
     @property
     def n_atoms_cap(self):
@@ -98,6 +99,7 @@ def init_md_state(
     n_atoms_cap: Optional[int] = None,
     n_edges_cap: int = 0,
     dtype=jnp.float32,
+    with_mirror: bool = False,
 ) -> MDState:
     import jax
 
@@ -145,4 +147,7 @@ def init_md_state(
         potential_energy=jnp.asarray(0.0, dtype),
         stress=jnp.zeros(6, dtype),
         thermo=jnp.zeros((2, 3), dtype),
+        edge_mir=(
+            jnp.zeros(n_edges_cap, jnp.int32) if with_mirror else None
+        ),
     )

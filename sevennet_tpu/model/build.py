@@ -144,6 +144,12 @@ class ModelSpec:
     # (288 vs 334 ms/step) because the mirror gathers the 3136-wide message
     # cotangent; default off until the Pallas backward lands.
     conv_custom_vjp: bool = False
+    # fused Pallas conv kernel (ops/fused_conv.py): feature-major fused
+    # radial-MLP + uvu TP + K-fold with the mirror-reduced backward.
+    # Requires edge_dense_k > 0 and graph.edge_mir; single-grad only
+    # (MD/inference) — training's grad-of-grad uses the XLA paths.
+    conv_fused: bool = False
+    conv_param_grads: bool = True
     # compute dtype for the convolution interior (gather, radial MLP, TP);
     # accumulation and all other layers stay float32
     conv_dtype: str = "float32"

@@ -67,7 +67,8 @@ def model_init(key, spec: ModelSpec, dtype=jnp.float32) -> Dict[str, Any]:
     return params
 
 
-def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src, n_atoms):
+def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src,
+                    n_atoms, edge_mir=None):
     """Dense-neighbor convolution: edge arrays are (N*K,) row-major by
     receiver. The scatter is a sum over the K axis fused into the
     tensor-product contraction — no segment_sum, no (E, dim_mid) buffer.
@@ -80,6 +81,24 @@ def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src, n_atoms
 
     K = spec.edge_dense_k
     conv = layer.conv
+
+    if spec.conv_fused:
+        from ..ops.fused_conv import fused_conv_apply
+
+        assert edge_mir is not None, (
+            "spec.conv_fused requires graph.edge_mir (mirror_map)"
+        )
+        return fused_conv_apply(
+            conv,
+            layer.radial_mlp,
+            conv_params["weight_nn"],
+            x,
+            edge_emb.reshape(n_atoms, K, -1),
+            sh.reshape(n_atoms, K, -1),
+            edge_src.reshape(n_atoms, K),
+            edge_mir.reshape(n_atoms, K),
+            param_grads=spec.conv_param_grads,
+        )
 
     if spec.conv_custom_vjp:
         from ..ops.dense_conv import dense_conv_apply
@@ -189,7 +208,8 @@ def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src, n_atoms
     return ys.reshape(nblk * a_blk, -1)[:n_atoms]
 
 
-def _convolve(spec, layer, conv_params, x, edge_emb, sh, edge_src, edge_dst, n_atoms):
+def _convolve(spec, layer, conv_params, x, edge_emb, sh, edge_src, edge_dst,
+              n_atoms, edge_mir=None):
     """Radial-MLP-weighted uvu TP + scatter into nodes.
 
     With ``spec.edge_chunk`` set, edges stream through in fixed-size chunks
@@ -203,7 +223,8 @@ def _convolve(spec, layer, conv_params, x, edge_emb, sh, edge_src, edge_dst, n_a
             "layout (the MD cell-list layout)"
         )
         return _convolve_dense(
-            spec, layer, conv_params, x, edge_emb, sh, edge_src, n_atoms
+            spec, layer, conv_params, x, edge_emb, sh, edge_src, n_atoms,
+            edge_mir,
         )
 
     def block(emb_c, sh_c, src_c, dst_c, sorted_dst):
@@ -339,7 +360,7 @@ def model_energy(
             )
             x = _convolve(
                 spec, layer, lp[f"{t}_convolution"], x, edge_emb, sh,
-                graph.edge_src, graph.edge_dst, n_atoms,
+                graph.edge_src, graph.edge_dst, n_atoms, graph.edge_mir,
             )
             x = x / lp[f"{t}_convolution"]["denominator"][0]
             x = linear_apply(

@@ -1,5 +1,5 @@
-"""Production Pallas TPU kernel: fused radial-MLP + uvu tensor product +
-neighbor reduction over the dense (N, K) layout.
+"""Production Pallas TPU kernels: fused radial-MLP + uvu tensor product +
+neighbor reduction over the dense (N, K) layout, forward and backward.
 
 TPU analogue of the reference's kernel accelerators (cuEquivariance /
 FlashTP / OpenEquivariance, ``sevenn/nn/cue_helper.py:53-124``,
@@ -8,33 +8,39 @@ weights from the edge embedding (the (N, K, numel) weight tensor never
 exists in HBM), contracts the Wigner-coupled ``uvu`` product, and reduces
 over the K neighbor slots — all in VMEM.
 
-Key structure (round-2 redesign; round-1's fori_loop+switch kernel was
-5.9x slower than XLA because it serialized the VPU work):
+Design (round-2, measured on v5e; see scripts_dev/r2_fused_breakdown.py):
 
-- the radial MLP and the packed Wigner contraction ``tmp = sh @ W3J^T``
-  are MXU matmuls on (T, ·) edge blocks;
-- the 15-instruction uvu TP is **fully unrolled** at trace time;
-  (m, p) pairs whose w3j column is structurally zero are skipped;
-- edge blocks are **k-major** (row t = k*A + a): the K-reduction becomes
-  a log2(K) chain of sublane halving adds on 8-aligned slices — measured
-  16.6 ms/layer cheaper than the a-major ``(A, K, mul).sum(1)``
-  sublane-group reduce, which Mosaic scalarizes into strided sub-tile
-  adds;
-- each (instruction, p) owns a disjoint output column range, so stores
-  need no accumulation;
-- per-edge weights never leave VMEM;
-- in-kernel matmuls run ``precision=HIGHEST`` (bf16x3 passes): the kernel
-  matches the fp32 XLA path to ~1e-6 (default bf16 passes gave 2e-2).
+- **feature-major layout** ``(feat, T)`` inside the kernel: multiplicities
+  (32/64/128) sit on sublanes — no (8,128) lane padding waste. The
+  edge-major variant wasted 2-4x of every vector op (19.6 ms/layer);
+  feature-major runs 7.5 ms vs 17.5 ms for the XLA einsum path.
+- edge blocks are **k-major** (lane t = k*A + a): the K-reduction is a
+  log2(K) chain of ``pltpu.roll`` + add lane folds (the a-major
+  ``(A,K,mul).sum(1)`` strided reduce cost 16.6 ms/layer).
+- radial MLP and the packed Wigner contraction are MXU matmuls at
+  ``precision=HIGHEST`` (default bf16 passes gave 2e-2 errors; HIGHEST
+  matches the fp32 XLA path to ~1e-6).
+- the 15-instruction uvu TP is fully unrolled; (m, p) pairs whose w3j
+  column is structurally zero are skipped.
+- results accumulate in a ``(dim, A)`` VMEM scratch; ONE transpose per
+  block writes the edge-major output.
 
-Forward only in this module; :mod:`ops.dense_conv` wires it (and the
-mirror-edge backward) into ``jax.custom_vjp``.
+Backward (mirror/scatter hybrid): everything except the x-cotangent is
+row-local — the kernel consumes the *receiver's* message cotangent
+(``ybar`` rows broadcast across the K lanes) and emits per-edge
+``dxg`` contributions plus row-local ``dsh``/``demb`` and (optionally)
+radial-MLP weight gradients. The caller turns ``dxg`` into ``dx`` with a
+mirror-permutation gather + K-sum (symmetric neighbor lists pair every
+edge with its reverse) — a gather, never a scatter (XLA scatter-add
+measured 14 ms/layer in round 1). See ``pair_e3gnn_parallel.cpp:404-441``
+for the reference's analogous manual reverse pass.
 """
 
 from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,18 +54,33 @@ from .dense_conv import mid_layout
 from .mlp import ScalarMLPSpec
 from .tensor_product import ConvTPSpec
 
-__all__ = ["make_fused_conv_fwd", "fused_conv_block_atoms"]
+__all__ = [
+    "make_fused_conv_fwd",
+    "make_fused_conv_bwd",
+    "fused_conv_apply",
+    "fused_conv_block_atoms",
+    "to_k_major",
+    "from_k_major",
+    "mirror_map",
+]
+
+_DOT = dict(
+    preferred_element_type=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
+)
+_VMEM_LIMIT = 110 * 1024 * 1024
 
 
-def _instr_tables(conv: ConvTPSpec, parity_flip: bool = False):
-    """Static per-instruction metadata + the packed Wigner matrix.
+def _auto_interpret(flag):
+    """Pallas interpret mode when not on TPU (CPU tests)."""
+    if flag is not None:
+        return flag
+    return jax.default_backend() != "tpu"
 
-    Returns (instr, w3j_pack, dim_mid, numel) where ``w3j_pack`` is
-    (R, dim_f) with one row per *active* (instruction, m, p) pair:
-    ``tmp = sh @ w3j_pack.T`` yields every scalar the TP inner loop
-    broadcasts. ``parity_flip`` multiplies each instruction by
-    (-1)^l_filter (the mirror-edge backward table, see dense_conv.py).
-    """
+
+def _instr_tables(conv: ConvTPSpec):
+    """Static per-instruction metadata + the packed Wigner matrix (R, dim_f):
+    one row per active (instruction, m, p) pair; ``tmp = w3j_pack @ sh^T``."""
     xs = conv.irreps_x.slices()
     fs = conv.irreps_filter.slices()
     layout, dim_mid = mid_layout(conv)
@@ -76,8 +97,6 @@ def _instr_tables(conv: ConvTPSpec, parity_flip: bool = False):
         w3j = np.asarray(
             real_wigner_3j(mi_x.ir.l, mi_f.ir.l, mi_o.ir.l), np.float64
         ) * pw
-        if parity_flip:
-            w3j = w3j * ((-1.0) ** mi_f.ir.l)
         fsl = fs[j]
         mp = []
         for m in range(d1):
@@ -102,14 +121,13 @@ def _instr_tables(conv: ConvTPSpec, parity_flip: bool = False):
 
 
 def fused_conv_block_atoms(K: int, target_t: int = 1536) -> int:
-    """Pick atoms-per-block A (multiple of 8, A*K near target_t)."""
+    """Atoms per block A (multiple of 8, A*K near target_t)."""
     assert K % 8 == 0, "dense neighbor capacity K must be a multiple of 8"
     return max(8, int(round(target_t / K / 8)) * 8)
 
 
 def to_k_major(arr_nk, A: int):
-    """(N, K, ...) -> flat (N*K, ...) rows ordered ``b*K*A + k*A + a``
-    (the kernel's k-major block layout). N must be a multiple of A."""
+    """(N, K, ...) -> flat (N*K, ...) rows ordered ``b*K*A + k*A + a``."""
     N, K = arr_nk.shape[0], arr_nk.shape[1]
     assert N % A == 0, (N, A)
     tail = arr_nk.shape[2:]
@@ -120,8 +138,8 @@ def to_k_major(arr_nk, A: int):
     )
 
 
-def from_k_major_edges(arr_flat, N: int, K: int, A: int):
-    """Inverse of :func:`to_k_major` for flat per-edge arrays."""
+def from_k_major(arr_flat, N: int, K: int, A: int):
+    """Inverse of :func:`to_k_major`: flat k-major -> (N, K, ...)."""
     tail = arr_flat.shape[1:]
     return (
         arr_flat.reshape(N // A, K, A, *tail)
@@ -130,27 +148,80 @@ def from_k_major_edges(arr_flat, N: int, K: int, A: int):
     )
 
 
+def mirror_map(src_nk, shift_nk, edge_mask_nk, chunk: int = 256):
+    """Flat (dst-major) index of each edge's mirror: for the edge at slot
+    (i, k) = (i <- j, S), find the slot (j, k') holding (j <- i, -S).
+
+    Jit-able direct search, chunked over receiver atoms to bound the
+    (chunk, K, K) candidate tensors; int32 throughout. Padded or unmatched
+    slots map to themselves (their cotangent contributions are zero).
+    Requires a symmetric list — cell list / full NL guarantee this.
+    Computed once per neighbor rebuild, not per step.
+    """
+    N, K = src_nk.shape
+    smax = 4
+    base = 2 * smax + 1
+    sh = jnp.round(shift_nk).astype(jnp.int32)
+    code = (
+        (sh[..., 0] + smax) * base + (sh[..., 1] + smax)
+    ) * base + (sh[..., 2] + smax)          # (N, K) int32 < 729
+    mcode = (
+        (-sh[..., 0] + smax) * base + (-sh[..., 1] + smax)
+    ) * base + (-sh[..., 2] + smax)
+
+    pad = (-N) % chunk
+    if pad:
+        padz = lambda a, fill=0: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]
+        )
+        src_p = padz(src_nk)
+        code_p = padz(code)
+        mcode_p = padz(mcode, -1)
+        mask_p = padz(edge_mask_nk.astype(jnp.int32))
+    else:
+        src_p, code_p, mcode_p = src_nk, code, mcode
+        mask_p = edge_mask_nk.astype(jnp.int32)
+    nb = (N + pad) // chunk
+    i_idx = jnp.arange(N + pad, dtype=jnp.int32)
+
+    def block(b):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, b * chunk, chunk, 0)
+        j_blk = sl(src_p)                      # (B, K)
+        srcj = src_p[j_blk]                    # (B, K, K)
+        codej = code_p[j_blk]                  # (B, K, K)
+        i_tgt = sl(i_idx)[:, None, None]       # (B, 1, 1)
+        want = sl(mcode_p)[:, :, None]         # (B, K, 1)
+        match = (srcj == i_tgt) & (codej == want)
+        found = jnp.any(match, axis=2)
+        kprime = jnp.argmax(match, axis=2).astype(jnp.int32)
+        mir_b = j_blk * K + kprime
+        self_b = (sl(i_idx)[:, None] * K
+                  + jnp.arange(K, dtype=jnp.int32)[None, :])
+        ok = found & (sl(mask_p) > 0)
+        return jnp.where(ok, mir_b, self_b)
+
+    mir = jax.lax.map(block, jnp.arange(nb))
+    return mir.reshape(-1, K)[:N].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
 def make_fused_conv_fwd(
     conv: ConvTPSpec,
     mlp_spec: ScalarMLPSpec,
     A: int,
     K: int,
     act: str = "silu",
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ):
-    """Build the jittable fused forward.
+    """Returns fn(xg, emb, sh, mlp_ws) -> (N, dim_mid).
 
-    Returned fn:
-        (xg (N*K, dim_x), emb (N*K, n_basis), sh (N*K, dim_f),
-         mlp_ws: tuple of MLP weights (d_in, d_out))
-        -> (N, dim_mid) conv output (pre-denominator).
-
-    Edge arrays must be in **k-major block order**: flat row
-    ``b*A*K + k*A + a`` holds neighbor slot ``k`` of atom ``b*A + a``
-    (use :func:`to_k_major` / permute the src indices before the gather).
-    The caller does the XLA-side gather ``x[src]``; N must be a multiple
-    of A. Zeroed padding edges (emb == 0) contribute exactly zero because
-    the radial MLP has no biases.
+    All edge arrays flat in **k-major block order** (:func:`to_k_major`);
+    ``xg = x[to_k_major(src)]`` is gathered by the caller. Zeroed padding
+    edges contribute exactly zero (the radial MLP has no biases).
     """
     instr, w3j_pack_np, dim_mid, numel = _instr_tables(conv)
     dim_x = conv.irreps_x.dim
@@ -163,77 +234,66 @@ def make_fused_conv_fwd(
     n_mlp = len(mlp_spec.dims) - 1
     inv_sqrt = [1.0 / math.sqrt(d) for d in mlp_spec.dims[:-1]]
 
-    dot_kw = dict(
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-    def _k_reduce(acc):
-        """(K*A, mul) k-major -> (A, mul) by sublane halving adds.
-
-        All slice offsets are multiples of A (>= 8 sublanes): no Mosaic
-        relayout — this replaces the 16.6 ms/layer a-major
-        ``(A, K, mul).sum(1)`` strided reduce.
-        """
-        rows = acc.shape[0]
-        while rows > A:
-            if (rows // A) % 2 == 0:
-                half = rows // 2
-                acc = acc[:half, :] + acc[half:, :]
-                rows = half
+    def _kfold(acc):
+        """(mul, T) k-major lanes -> (mul, A) via roll+add lane folds."""
+        kcur = K
+        while kcur > 1:
+            w = kcur * A
+            if kcur % 2 == 0:
+                half = (kcur // 2) * A
+                acc = acc[:, :half] + pltpu.roll(acc, w - half, 1)[:, :half]
+                kcur //= 2
             else:
-                # odd chunk count: fold the last A-chunk into the first
-                acc = jnp.concatenate(
-                    [acc[:A, :] + acc[rows - A :, :], acc[A : rows - A, :]], 0
-                )
-                rows -= A
+                head = acc[:, : (kcur - 1) * A]
+                tail = pltpu.roll(acc, A, 1)[:, :A]  # last chunk to front
+                acc = head + jnp.pad(tail, ((0, 0), (0, (kcur - 2) * A)))
+                kcur -= 1
         return acc
 
     def kernel(xg_ref, emb_ref, sh_ref, *rest):
         mlp_refs = rest[:n_mlp]
         w3j_ref = rest[n_mlp]
         out_ref = rest[n_mlp + 1]
+        scr = rest[n_mlp + 2]
 
-        # ---- radial MLP on MXU (e3nn FullyConnectedNet semantics) ----
-        h = emb_ref[:]
+        xgT = xg_ref[:].T          # (dim_x, T)
+        embT = emb_ref[:].T        # (n_basis, T)
+        shT = sh_ref[:].T          # (dim_f, T)
+
+        h = embT
         for li, wref in enumerate(mlp_refs):
-            h = jnp.dot(h, wref[:], **dot_kw) * inv_sqrt[li]
+            h = jnp.dot(wref[:].T, h, **_DOT) * inv_sqrt[li]
             if li < n_mlp - 1:
                 h = jax.nn.silu(h) * cst
-        # h: (T, numel)
+        tmp = jnp.dot(w3j_ref[:], shT, **_DOT)  # (R, T)
 
-        # ---- Wigner scalars on MXU: (T, R) ----
-        tmp = jnp.dot(sh_ref[:], w3j_ref[:].T, **dot_kw)
-
-        xg = xg_ref[:]
-        # ---- uvu TP: unrolled lane-broadcast FMAs + halving K-reduce ----
         for ins in instr:
             d1, d3, mul = ins["d1"], ins["d3"], ins["mul"]
             x0, w0 = ins["x_start"], ins["w_start"]
-            wb = h[:, w0 : w0 + mul]                        # (T, mul)
+            wb = h[w0 : w0 + mul, :]
             xw = [
-                xg[:, x0 + m * mul : x0 + (m + 1) * mul] * wb
+                xgT[x0 + m * mul : x0 + (m + 1) * mul, :] * wb
                 for m in range(d1)
             ]
             by_p: Dict[int, Any] = {}
             for m, p, r in ins["mp"]:
-                term = xw[m] * tmp[:, r : r + 1]
+                term = xw[m] * tmp[r : r + 1, :]
                 by_p[p] = term if p not in by_p else by_p[p] + term
             g0, u_off, u_tot = ins["g_start"], ins["u_off"], ins["u_tot"]
             for p in range(d3):
                 start = g0 + p * u_tot + u_off
                 if p in by_p:
-                    out_ref[:, start : start + mul] = _k_reduce(by_p[p])
+                    scr[start : start + mul, :] = _kfold(by_p[p])
                 else:
-                    out_ref[:, start : start + mul] = jnp.zeros(
-                        (A, mul), jnp.float32
+                    scr[start : start + mul, :] = jnp.zeros(
+                        (mul, A), jnp.float32
                     )
+        out_ref[:] = scr[:].T
 
     def fused(xg, emb, sh, mlp_ws):
         NK = xg.shape[0]
         assert NK % T == 0, (NK, T)
         n_blocks = NK // T
-        grid = (n_blocks,)
         in_specs = [
             pl.BlockSpec((T, dim_x), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, n_basis), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -244,19 +304,317 @@ def make_fused_conv_fwd(
         ] + [
             pl.BlockSpec((R, dim_f), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
-        out = pl.pallas_call(
+        return pl.pallas_call(
             kernel,
-            grid=grid,
+            grid=(n_blocks,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (A, dim_mid), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((n_blocks * A, dim_mid), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((dim_mid, A), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=_VMEM_LIMIT
             ),
-            interpret=interpret,
+            interpret=_auto_interpret(interpret),
         )(xg, emb, sh, *mlp_ws, jnp.asarray(w3j_pack_np))
-        return out
 
     return fused
+
+
+# ---------------------------------------------------------------------------
+# backward kernel (row-local part)
+# ---------------------------------------------------------------------------
+
+
+def make_fused_conv_bwd(
+    conv: ConvTPSpec,
+    mlp_spec: ScalarMLPSpec,
+    A: int,
+    K: int,
+    act: str = "silu",
+    param_grads: bool = True,
+    interpret: Optional[bool] = None,
+):
+    """Returns fn(xg, emb, sh, ybar, mlp_ws) ->
+        (dxg (N*K, dim_x), demb (N*K, n_basis), dsh (N*K, dim_f)
+         [, dmlp_ws tuple])
+
+    ``ybar`` is the (N, dim_mid) cotangent of the conv output; ``dxg`` rows
+    are per-edge contributions to ``dx[src[edge]]`` — the caller reduces
+    them with :func:`mirror_map` (gather + K-sum). Everything else is
+    row-local and exact. Param grads double the MXU work; disable for MD.
+    """
+    instr, w3j_pack_np, dim_mid, numel = _instr_tables(conv)
+    dim_x = conv.irreps_x.dim
+    dim_f = conv.irreps_filter.dim
+    n_basis = mlp_spec.dims[0]
+    R = w3j_pack_np.shape[0]
+    T = A * K
+    cst = NORMALIZE2MOM_CST[act]
+    assert act == "silu"
+    n_mlp = len(mlp_spec.dims) - 1
+    dims = mlp_spec.dims
+    inv_sqrt = [1.0 / math.sqrt(d) for d in dims[:-1]]
+
+    def kernel(xg_ref, emb_ref, sh_ref, ybar_ref, *rest):
+        mlp_refs = rest[:n_mlp]
+        w3j_ref = rest[n_mlp]
+        outs = rest[n_mlp + 1 :]
+        dxg_ref, demb_ref, dsh_ref = outs[0], outs[1], outs[2]
+        dw_refs = outs[3 : 3 + n_mlp] if param_grads else ()
+        dxscr = outs[3 + n_mlp] if param_grads else outs[3]
+
+        xgT = xg_ref[:].T
+        embT = emb_ref[:].T
+        shT = sh_ref[:].T
+        ybT = ybar_ref[:].T        # (dim_mid, A)
+
+        # ---- recompute the radial MLP, keeping pre-activations ----
+        h = embT
+        hs = [h]          # inputs of each layer (post-activation)
+        zs = []           # pre-activations
+        for li, wref in enumerate(mlp_refs):
+            z = jnp.dot(wref[:].T, h, **_DOT) * inv_sqrt[li]
+            zs.append(z)
+            h = jax.nn.silu(z) * cst if li < n_mlp - 1 else z
+            hs.append(h)
+        w_edge = hs[-1]            # (numel, T)
+        tmp = jnp.dot(w3j_ref[:], shT, **_DOT)  # (R, T)
+
+        dw_blocks = {}  # w_start -> (mul, T) weight cotangent block
+        dtmp_rows = [None] * R
+        dx_blocks = {}  # x row offset -> (mul, T), summed across instructions
+
+        for ins in instr:
+            d1, d3, mul = ins["d1"], ins["d3"], ins["mul"]
+            x0, w0 = ins["x_start"], ins["w_start"]
+            wb = w_edge[w0 : w0 + mul, :]
+            g0, u_off, u_tot = ins["g_start"], ins["u_off"], ins["u_tot"]
+            # receiver cotangent tiles: (mul, A) -> (mul, T) k-major tile
+            ybt = {}
+            for p in range(d3):
+                start = g0 + p * u_tot + u_off
+                yb = ybT[start : start + mul, :]
+                ybt[p] = jnp.concatenate([yb] * K, axis=1)
+            # dx contributions (per edge, to be mirror-reduced); multiple
+            # instructions share the same x input block -> accumulate
+            for m in range(d1):
+                acc = None
+                for mm, p, r in ins["mp"]:
+                    if mm != m:
+                        continue
+                    t = ybt[p] * tmp[r : r + 1, :]
+                    acc = t if acc is None else acc + t
+                dxm = acc * wb
+                key = x0 + m * mul
+                dx_blocks[key] = (
+                    dxm if key not in dx_blocks else dx_blocks[key] + dxm
+                )
+            # dw and dtmp
+            dwb = None
+            for m, p, r in ins["mp"]:
+                q = xgT[x0 + m * mul : x0 + (m + 1) * mul, :] * ybt[p]
+                contrib = q * tmp[r : r + 1, :]
+                dwb = contrib if dwb is None else dwb + contrib
+                # dtmp row: sum over mul of q * wb
+                dtmp_rows[r] = jnp.sum(q * wb, axis=0, keepdims=True)
+            dw_blocks[w0] = dwb
+
+        for key, dxm in dx_blocks.items():
+            dxscr[key : key + dxm.shape[0], :] = dxm
+
+        # assemble dw_edge (numel, T) from per-instruction blocks
+        dw_edge = jnp.concatenate(
+            [dw_blocks[ins["w_start"]] for ins in instr], axis=0
+        )  # (numel, T)
+        dtmp = jnp.concatenate(
+            [dtmp_rows[r] for r in range(R)], axis=0
+        )  # (R, T)
+
+        # dsh via the packed Wigner matrix
+        dshT = jnp.dot(w3j_ref[:].T, dtmp, **_DOT)  # (dim_f, T)
+        dsh_ref[:] = dshT.T
+
+        # ---- MLP backward ----
+        g = dw_edge  # cotangent at layer output (numel, T)
+        for li in range(n_mlp - 1, -1, -1):
+            if param_grads:
+                # dW_li = hs[li] @ g^T scaled; stored (d_in, d_out)
+                dW = jnp.dot(hs[li], g.T, **_DOT) * inv_sqrt[li]
+                is_first = pl.program_id(0) == 0
+
+                @pl.when(is_first)
+                def _(dref=dw_refs[li], val=dW):
+                    dref[:] = val
+
+                @pl.when(jnp.logical_not(is_first))
+                def _(dref=dw_refs[li], val=dW):
+                    dref[:] = dref[:] + val
+
+            g = jnp.dot(mlp_refs[li][:], g, **_DOT) * inv_sqrt[li]
+            if li > 0:
+                z = zs[li - 1]
+                sig = jax.nn.sigmoid(z)
+                dsilu = sig * (1.0 + z * (1.0 - sig))
+                g = g * (dsilu * cst)
+        demb_ref[:] = g.T
+        dxg_ref[:] = dxscr[:].T
+
+    def fused_bwd(xg, emb, sh, ybar, mlp_ws):
+        NK = xg.shape[0]
+        assert NK % T == 0, (NK, T)
+        n_blocks = NK // T
+        in_specs = [
+            pl.BlockSpec((T, dim_x), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, n_basis), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, dim_f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, dim_mid), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for w in mlp_ws
+        ] + [
+            pl.BlockSpec((R, dim_f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((NK, dim_x), jnp.float32),
+            jax.ShapeDtypeStruct((NK, n_basis), jnp.float32),
+            jax.ShapeDtypeStruct((NK, dim_f), jnp.float32),
+        ]
+        out_specs = [
+            pl.BlockSpec((T, dim_x), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, n_basis), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, dim_f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        if param_grads:
+            for w in mlp_ws:
+                out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+                out_specs.append(
+                    pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+                )
+        res = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=[pltpu.VMEM((dim_x, T), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            interpret=_auto_interpret(interpret),
+        )(xg, emb, sh, ybar, *mlp_ws, jnp.asarray(w3j_pack_np))
+        if param_grads:
+            return res[0], res[1], res[2], tuple(res[3:])
+        return res[0], res[1], res[2]
+
+    return fused_bwd
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper (the production conv op)
+# ---------------------------------------------------------------------------
+
+
+_KERNEL_CACHE: Dict = {}
+
+
+def _get_kernels(conv, mlp_spec, A, K, param_grads):
+    key = (conv, mlp_spec, A, K, param_grads)
+    if key not in _KERNEL_CACHE:
+        _KERNEL_CACHE[key] = (
+            make_fused_conv_fwd(conv, mlp_spec, A, K),
+            make_fused_conv_bwd(conv, mlp_spec, A, K, param_grads=param_grads),
+        )
+    return _KERNEL_CACHE[key]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_conv(conv, mlp_spec, A, param_grads, mlp_ws, x, emb_nk, sh_nk,
+                src_nk, mir_nk):
+    K = src_nk.shape[1]
+    fwd, _ = _get_kernels(conv, mlp_spec, A, K, param_grads)
+    xg = x[to_k_major(src_nk, A)]
+    out = fwd(
+        xg,
+        to_k_major(emb_nk, A),
+        to_k_major(sh_nk, A),
+        tuple(mlp_ws),
+    )
+    return out
+
+
+def _fused_conv_fwd_rule(conv, mlp_spec, A, param_grads, mlp_ws, x, emb_nk,
+                         sh_nk, src_nk, mir_nk):
+    out = _fused_conv(conv, mlp_spec, A, param_grads, mlp_ws, x, emb_nk,
+                      sh_nk, src_nk, mir_nk)
+    return out, (mlp_ws, x, emb_nk, sh_nk, src_nk, mir_nk)
+
+
+def _fused_conv_bwd_rule(conv, mlp_spec, A, param_grads, res, ybar):
+    mlp_ws, x, emb_nk, sh_nk, src_nk, mir_nk = res
+    N, K = src_nk.shape
+    _, bwd = _get_kernels(conv, mlp_spec, A, K, param_grads)
+    src_km = to_k_major(src_nk, A)
+    xg = x[src_km]
+    outs = bwd(
+        xg,
+        to_k_major(emb_nk, A),
+        to_k_major(sh_nk, A),
+        ybar,
+        tuple(mlp_ws),
+    )
+    if param_grads:
+        dxg_km, demb_km, dsh_km, dmlp = outs
+        dmlp = tuple(g.astype(w.dtype) for g, w in zip(dmlp, mlp_ws))
+    else:
+        dxg_km, demb_km, dsh_km = outs
+        dmlp = tuple(jnp.zeros_like(w) for w in mlp_ws)
+    # dx: per-edge contributions live at the edge's own (receiver) slot in
+    # k-major order; the contribution TARGETS the sender. Mirror gather:
+    # dx[n] = sum_k dxg[mirror of (n, k)] — the mirror of (n,k) is the edge
+    # where n is the sender.
+    dxg_nk = from_k_major(dxg_km, N, K, A)  # (N, K, dim_x)
+    flat = dxg_nk.reshape(N * K, -1)
+    dx = jnp.sum(flat[mir_nk.reshape(-1)].reshape(N, K, -1), axis=1)
+    demb = from_k_major(demb_km, N, K, A)
+    dsh = from_k_major(dsh_km, N, K, A)
+    return (
+        dmlp,
+        dx.astype(x.dtype),
+        demb.astype(emb_nk.dtype),
+        dsh.astype(sh_nk.dtype),
+        np.zeros(src_nk.shape, jax.dtypes.float0),
+        np.zeros(mir_nk.shape, jax.dtypes.float0),
+    )
+
+
+_fused_conv.defvjp(_fused_conv_fwd_rule, _fused_conv_bwd_rule)
+
+
+def fused_conv_apply(
+    conv: ConvTPSpec,
+    mlp_spec: ScalarMLPSpec,
+    mlp_params,
+    x,          # (N, dim_x)
+    emb_nk,     # (N, K, n_basis), zero on padded slots
+    sh_nk,      # (N, K, dim_f)
+    src_nk,     # (N, K) int32
+    mir_nk,     # (N, K) int32 flat mirror indices (mirror_map)
+    *,
+    block_atoms: int = 0,
+    param_grads: bool = True,
+):
+    """Fused Pallas conv with the mirror-reduced backward. ``x`` padding
+    rows must be inert (gathered but masked by zero emb)."""
+    K = src_nk.shape[1]
+    A = block_atoms or fused_conv_block_atoms(K)
+    n = x.shape[0]
+    assert n % A == 0, (
+        f"atom capacity {n} must be a multiple of the conv block size {A}"
+    )
+    ws = tuple(mlp_params["w"]) if isinstance(mlp_params, dict) else tuple(mlp_params)
+    return _fused_conv(
+        conv, mlp_spec, A, bool(param_grads), ws, x, emb_nk, sh_nk,
+        src_nk, mir_nk,
+    )
