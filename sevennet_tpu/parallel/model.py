@@ -161,7 +161,7 @@ def make_distributed_compute(spec: ModelSpec, mesh: Mesh):
     """Returns jitted fn(params, dd_arrays, cell) ->
     {energy (), atomic_energy (D, N_cap), forces (D, N_cap, 3), stress (6,)}.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def fn(params, dd_arrays, cell):
         sm = shard_map(
@@ -176,7 +176,7 @@ def make_distributed_compute(spec: ModelSpec, mesh: Mesh):
             mesh=mesh,
             in_specs=(P(), P("dd"), P(), P("dd"), P()),
             out_specs=P("dd"),
-            check_rep=False,
+            check_vma=False,
         )
 
         def etot(pos, eps):

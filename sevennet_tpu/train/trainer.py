@@ -174,7 +174,7 @@ class Trainer:
             return jax.jit(single_device_step)
 
         mesh = self.mesh
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         def sharded_step(state: TrainState, graphs: GraphBatch):
             # graphs have a leading device axis (D, ...)
@@ -202,7 +202,7 @@ class Trainer:
                 mesh=mesh,
                 in_specs=(P(), P("dp")),
                 out_specs=(P(), (P(), P())),
-                check_rep=False,
+                check_vma=False,
             )(state, graphs)
 
         return jax.jit(sharded_step)
