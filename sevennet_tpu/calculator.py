@@ -60,9 +60,10 @@ class SevenNetTPUCalculator:
             assert params is not None
             spec = model
         else:
-            from .io import load_sevennet_checkpoint
+            # path, native checkpoint dir, or pretrained name ("7net-0", ...)
+            from .io.registry import load_model
 
-            spec, params = load_sevennet_checkpoint(str(model))
+            spec, params = load_model(str(model))
         self.spec = spec
         self.params = params
         self.compute_stress = compute_stress

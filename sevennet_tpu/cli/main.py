@@ -281,9 +281,19 @@ def main(argv=None):
         return 0
 
     if args.cmd == "get_model":
-        from ..io.native_checkpoint import load_checkpoint, save_checkpoint
+        import os.path as osp
 
-        spec, params, meta = load_checkpoint(args.source)
+        from ..io.native_checkpoint import load_checkpoint, save_checkpoint
+        from ..io.registry import resolve_checkpoint
+
+        source = resolve_checkpoint(args.source)  # name / .pth / native
+        if osp.isdir(source) or source.endswith(".msgpack"):
+            spec, params, meta = load_checkpoint(source)
+        else:
+            from ..io import load_sevennet_checkpoint
+
+            spec, params = load_sevennet_checkpoint(source)
+            meta = {}
         cfg = meta.get("model_config")
         if not cfg:
             # reconstruct a minimal config from the spec

@@ -59,6 +59,16 @@ def atoms_to_graph(at: AtomsLite, cutoff: float, z_to_type: np.ndarray, modal: i
     )
 
 
+class _BuildOne:
+    """Picklable worker for the multiprocess graph build."""
+
+    def __init__(self, cutoff, z_to_type, modal):
+        self.cutoff, self.z_to_type, self.modal = cutoff, z_to_type, modal
+
+    def __call__(self, at):
+        return atoms_to_graph(at, self.cutoff, self.z_to_type, self.modal)
+
+
 @dataclass
 class GraphDataset:
     atoms_list: List[AtomsLite]
@@ -86,14 +96,28 @@ class GraphDataset:
         zs = sorted({int(z) for at in self.atoms_list for z in at.numbers})
         return [CHEMICAL_SYMBOLS[z] for z in zs]
 
-    def build(self, z_to_type: Optional[np.ndarray] = None):
+    def build(self, z_to_type: Optional[np.ndarray] = None, processes: int = 1):
+        """Build all graphs; ``processes > 1`` fans the (numpy-only) neighbor
+        list + labeling work over a multiprocessing pool (the reference's
+        ``graph_build`` mp.Pool, ``dataload.py:226-269``; config key
+        ``preprocess_num_cores``)."""
         if z_to_type is not None:
             self.z_to_type = z_to_type
         assert self.z_to_type is not None
-        self.graphs = [
-            atoms_to_graph(at, self.cutoff, self.z_to_type, self.modal)
-            for at in self.atoms_list
-        ]
+        if processes > 1 and len(self.atoms_list) > 1:
+            import multiprocessing as mp
+
+            with mp.get_context("fork").Pool(processes) as pool:
+                self.graphs = pool.map(
+                    _BuildOne(self.cutoff, self.z_to_type, self.modal),
+                    self.atoms_list,
+                    chunksize=max(1, len(self.atoms_list) // (processes * 8)),
+                )
+        else:
+            self.graphs = [
+                atoms_to_graph(at, self.cutoff, self.z_to_type, self.modal)
+                for at in self.atoms_list
+            ]
         return self
 
     def __len__(self):

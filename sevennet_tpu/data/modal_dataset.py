@@ -101,9 +101,9 @@ class MultiModalDataset:
             out |= set(d.species)
         return sorted(out)
 
-    def build(self, z_to_type=None):
+    def build(self, z_to_type=None, processes: int = 1):
         for d in self.datasets.values():
-            d.build(z_to_type)
+            d.build(z_to_type, processes=processes)
         return self
 
     def split(self, ratio: float, seed: int = 777):

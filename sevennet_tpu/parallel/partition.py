@@ -185,43 +185,38 @@ def partition_system(
         ghost_shift_rows.append(gs)
         gshift[d] = gs
 
-    # edges per device via the host NL on the global system
+    # edges per device via the host NL on the global system — fully
+    # numpy-vectorized (the per-edge Python loop was O(E) and hopeless at
+    # 100k+ atoms): map (src global idx, axis shift) -> ghost slot through a
+    # flat lookup table keyed ``global_idx * 3 + (shift + 1)``.
     gdst, gsrc, gS = neighbor_list_numpy(pos_w, cutoff, cell, (True, True, True))
+    gS_axis = np.rint(gS[:, axis]).astype(np.int64)
+    if len(gS_axis) and np.abs(gS_axis).max() > 1:
+        raise RuntimeError("cutoff exceeds the box length along the slab axis")
     e_caps = []
     edge_rows = []
     for d in range(D):
         own_sel = slab[gdst] == d
         ed, es, eS = gdst[own_sel], gsrc[own_sel], gS[own_sel]
-        # map src to extended index: owned if same slab AND shift along axis
-        # consistent with the local copy; else find ghost slot
-        ghost_slot_of = {}
+        es_axis = gS_axis[own_sel]
         gg = ghost_global[d]
-        for slot in range(g_cap):
-            if gg[slot] >= 0:
-                key = (int(gg[slot]), int(round(ghost_shift_rows[d][slot, axis])))
-                ghost_slot_of[key] = slot
-        src_ext = np.zeros(len(es), np.int64)
-        keep = np.ones(len(es), bool)
-        for i, (s, Sv) in enumerate(zip(es, eS)):
-            s_axis_shift = int(round(Sv[axis]))
-            if slab[s] == d and s_axis_shift == 0:
-                src_ext[i] = local_of[s]
-            else:
-                key = (int(s), s_axis_shift)
-                slot = ghost_slot_of.get(key)
-                if slot is None:
-                    raise RuntimeError(
-                        f"edge source atom {s} (axis shift {s_axis_shift}) not in "
-                        f"ghost map of device {d} — halo band too thin?"
-                    )
-                src_ext[i] = n_cap + slot
+        gshift_ax = np.rint(ghost_shift_rows[d][:, axis]).astype(np.int64)
+        lookup = -np.ones(n * 3, np.int64)
+        valid = gg >= 0
+        lookup[gg[valid] * 3 + gshift_ax[valid] + 1] = np.flatnonzero(valid)
+        is_owned = (slab[es] == d) & (es_axis == 0)
+        slot = lookup[es * 3 + es_axis + 1]
+        if np.any(~is_owned & (slot < 0)):
+            bad = np.flatnonzero(~is_owned & (slot < 0))[0]
+            raise RuntimeError(
+                f"edge source atom {es[bad]} (axis shift {es_axis[bad]}) not "
+                f"in ghost map of device {d} — halo band too thin?"
+            )
+        src_ext = np.where(is_owned, local_of[es], n_cap + slot)
         # residual shift: full shift minus the axis part carried by the ghost
         resS = eS.copy()
-        is_ghost = src_ext >= n_cap
-        resS[is_ghost, axis] -= np.array(
-            [ghost_shift_rows[d][int(t - n_cap), axis] for t in src_ext[is_ghost]]
-        )
-        edge_rows.append((local_of[ed], src_ext, resS, keep))
+        resS[~is_owned, axis] -= ghost_shift_rows[d][slot[~is_owned], axis]
+        edge_rows.append((local_of[ed], src_ext, resS, None))
         e_caps.append(len(ed))
 
     e_cap = _round_up(max(e_caps), 64)

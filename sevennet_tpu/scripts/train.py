@@ -119,9 +119,10 @@ def train_run(
     # model
     spec = build_model_spec(model_cfg)
     z2t = spec.z_to_type
-    trainset.build(z2t)
+    n_cores = int(data_cfg.get("preprocess_num_cores", 1))
+    trainset.build(z2t, processes=n_cores)
     if validset:
-        validset.build(z2t)
+        validset.build(z2t, processes=n_cores)
 
     # dense (N, K) edge layout for the fused/dense convolution (the fast
     # conv path on TPU); capacity = max neighbor count + margin

@@ -17,7 +17,7 @@ import pytest
 
 
 
-from .conftest import build_graph, compute
+from .conftest import REFERENCE_CP, build_graph, compute
 
 
 def test_load_shapes(small_spec_params):
@@ -82,3 +82,34 @@ def test_atomic_energies_sum(small_spec_params, hfo2_structure):
     gb = build_graph(spec, pos, Z, cell)
     out = model_energy(spec, params, gb, gb.edge_vectors())
     assert abs(float(jnp.sum(out["atomic_energy"])) - float(out["energy"][0])) < 1e-5
+
+
+def test_pretrained_registry(tmp_path, monkeypatch):
+    """Name -> path resolution through $SEVENN_TPU_CHECKPOINT_DIR
+    (reference sevenn/util.py:264-312, without the network download)."""
+    import pytest
+
+    from sevennet_tpu.io.registry import (
+        get_available_pretrained_models,
+        load_model,
+        resolve_checkpoint,
+    )
+
+    assert "sevennet-0" in get_available_pretrained_models()
+    # unknown name
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint("sevennet-nonexistent-model")
+    # not downloaded yet: mentions the searched dirs
+    monkeypatch.setenv("SEVENN_TPU_CHECKPOINT_DIR", str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="searched"):
+        resolve_checkpoint("7net-omat")
+    # drop a checkpoint in the search dir under the canonical basename
+    import shutil
+
+    shutil.copy(REFERENCE_CP, str(tmp_path / "checkpoint_sevennet_0.pth"))
+    p = resolve_checkpoint("7net-0")
+    assert p == str(tmp_path / "checkpoint_sevennet_0.pth")
+    spec, params = load_model("SevenNet-0")
+    assert spec.cutoff > 0
+    # a plain existing path passes straight through
+    assert resolve_checkpoint(REFERENCE_CP) == REFERENCE_CP

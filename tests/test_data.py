@@ -172,3 +172,17 @@ def test_lazy_batches(frames):
     for b1, b2 in zip(ds_eager.batches(3), ds_lazy.batches(3, lazy=True)):
         assert np.allclose(np.asarray(b1.positions), np.asarray(b2.positions))
         assert (np.asarray(b1.edge_src) == np.asarray(b2.edge_src)).all()
+
+
+def test_multiprocess_build_matches_serial(frames):
+    """processes>1 graph build (reference mp.Pool graph_build,
+    dataload.py:226-269) produces identical graphs."""
+    z2t = -np.ones(119, np.int64)
+    z2t[1], z2t[8] = 0, 1
+    ds1 = GraphDataset(list(frames), 4.0).build(z2t)
+    ds2 = GraphDataset(list(frames), 4.0).build(z2t, processes=2)
+    assert len(ds1.graphs) == len(ds2.graphs)
+    for g1, g2 in zip(ds1.graphs, ds2.graphs):
+        assert np.allclose(g1.positions, g2.positions)
+        assert np.array_equal(np.asarray(g1.edge_src), np.asarray(g2.edge_src))
+        assert np.allclose(g1.edge_shift, g2.edge_shift)
