@@ -33,13 +33,20 @@ def bessel_basis(r, coeffs, cutoff: float, eps: float = 1e-12):
 
 
 def poly_cutoff(r, cutoff: float, p: int = 6):
-    """Smooth polynomial envelope, 1 at r=0, 0 at r=cutoff (arXiv:2003.03123)."""
+    """Smooth polynomial envelope, 1 at r=0, 0 at r=cutoff (arXiv:2003.03123).
+
+    Clamped to exactly zero beyond the cutoff: MD cell lists carry
+    skin-shell edges (r in (cutoff, cutoff+skin]) and the raw polynomial
+    is nonzero there — without the clamp those edges leak unphysical
+    weight into the convolution (host neighbor lists are built at the
+    bare cutoff and never exposed this)."""
     x = r / cutoff
     c0 = (p + 1.0) * (p + 2.0) / 2.0
     c1 = p * (p + 2.0)
     c2 = p * (p + 1.0) / 2.0
     xp = x**p
-    return 1.0 - c0 * xp + c1 * xp * x - c2 * xp * x * x
+    val = 1.0 - c0 * xp + c1 * xp * x - c2 * xp * x * x
+    return jnp.where(x < 1.0, val, 0.0)
 
 
 def xplor_cutoff(r, cutoff: float, cutoff_on: float):
@@ -52,4 +59,7 @@ def xplor_cutoff(r, cutoff: float, cutoff_on: float):
         * (cut_sq + 2.0 * r_sq - 3.0 * on_sq)
         / (cut_sq - on_sq) ** 3
     )
-    return jnp.where(r < cutoff_on, 1.0, smooth)
+    # clamp beyond the cutoff (see poly_cutoff: skin-shell edges)
+    return jnp.where(
+        r < cutoff_on, 1.0, jnp.where(r < cutoff, smooth, 0.0)
+    )

@@ -170,3 +170,21 @@ def test_conv_tp_equivariance():
     n1 = out_norms(vecs, aux)
     n2 = out_norms(vecs @ R.T, aux @ R.T)
     assert np.abs(n1 - n2).max() < 1e-4
+
+
+def test_cutoff_envelopes_vanish_beyond_cutoff():
+    """MD cell lists carry skin-shell edges (r > cutoff); the envelopes
+    must be EXACTLY zero there or those edges leak weight into the conv
+    (regression: un-clamped XPLOR shifted a 3k-atom MD energy by 7 meV/atom)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sevennet_tpu.ops.radial import poly_cutoff, xplor_cutoff
+
+    r = jnp.asarray(np.linspace(0.1, 7.0, 200))
+    for env in (poly_cutoff(r, 5.0, 6), xplor_cutoff(r, 5.0, 4.5)):
+        env = np.asarray(env)
+        beyond = np.asarray(r) >= 5.0
+        assert np.all(env[beyond] == 0.0)
+        assert np.all(env[~beyond] >= -1e-7)
+        assert env[0] > 0.99  # ~1 near r=0
