@@ -98,6 +98,15 @@ def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src,
             edge_src.reshape(n_atoms, K),
             edge_mir.reshape(n_atoms, K),
             param_grads=spec.conv_param_grads,
+            # memory-bounded streaming only when the gathered (N*K, dim_x)
+            # edge tensor would be too big to materialize (100k-atom scale);
+            # below that the unchunked mirror backward is faster
+            row_chunk=(
+                (spec.edge_chunk // K)
+                if spec.edge_chunk
+                and n_atoms * K * conv.irreps_x.dim * 4 > 4_000_000_000
+                else 0
+            ),
         )
 
     if spec.conv_custom_vjp:

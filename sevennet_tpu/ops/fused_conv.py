@@ -148,6 +148,35 @@ def from_k_major(arr_flat, N: int, K: int, A: int):
     )
 
 
+def mirror_map_numpy(src_nk, shift_nk, edge_mask_nk) -> np.ndarray:
+    """Host-side :func:`mirror_map` (vectorized numpy; used by the
+    calculator where graphs are built host-side anyway)."""
+    src = np.asarray(src_nk, np.int64)
+    mask = np.asarray(edge_mask_nk, bool)
+    N, K = src.shape
+    sh = np.rint(np.asarray(shift_nk)).astype(np.int64)
+    smax = 4
+    base = 2 * smax + 1
+    code = ((sh[..., 0] + smax) * base + (sh[..., 1] + smax)) * base + (
+        sh[..., 2] + smax
+    )
+    mcode = ((-sh[..., 0] + smax) * base + (-sh[..., 1] + smax)) * base + (
+        -sh[..., 2] + smax
+    )
+    dst = np.repeat(np.arange(N, dtype=np.int64), K).reshape(N, K)
+    big = base ** 3
+    key = (dst * N + src) * big + code          # identity of each edge
+    want = (src * N + dst) * big + mcode        # identity of its mirror
+    flat_self = dst * K + np.tile(np.arange(K, dtype=np.int64), (N, 1))
+    kf = np.where(mask, key, -1).reshape(-1)
+    order = np.argsort(kf)
+    pos = np.searchsorted(kf[order], want.reshape(-1))
+    pos = np.clip(pos, 0, N * K - 1)
+    hit = kf[order][pos] == want.reshape(-1)
+    mir = np.where(hit & mask.reshape(-1), order[pos], flat_self.reshape(-1))
+    return mir.reshape(N, K).astype(np.int32)
+
+
 def mirror_map(src_nk, shift_nk, edge_mask_nk, chunk: int = 256):
     """Flat (dst-major) index of each edge's mirror: for the edge at slot
     (i, k) = (i <- j, S), find the slot (j, k') holding (j <- i, -S).
@@ -423,6 +452,15 @@ def make_fused_conv_bwd(
 
         for key, dxm in dx_blocks.items():
             dxscr[key : key + dxm.shape[0], :] = dxm
+        # x blocks no instruction consumes (e.g. odd-parity inputs of the
+        # last layer, whose products all fall outside the target irreps)
+        # get no write above — zero them or the scratch returns garbage
+        spans = sorted((k, k + v.shape[0]) for k, v in dx_blocks.items())
+        cur = 0
+        for a, b in spans + [(dim_x, dim_x)]:
+            if a > cur:
+                dxscr[cur:a, :] = jnp.zeros((a - cur, T), jnp.float32)
+            cur = max(cur, b)
 
         # assemble dw_edge (numel, T) from per-instruction blocks
         dw_edge = jnp.concatenate(
@@ -592,6 +630,91 @@ def _fused_conv_bwd_rule(conv, mlp_spec, A, param_grads, res, ybar):
 _fused_conv.defvjp(_fused_conv_fwd_rule, _fused_conv_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# chunked variant for large systems: the (N*K, dim_x) gathered input and the
+# (N*K, dim_x) backward edge-cotangent never materialize in full — row
+# chunks stream through lax.scan, and dx accumulates by scatter-add (the
+# mirror gather needs the full dxg array, so the unchunked path keeps it;
+# scatter costs more per edge but bounds memory for 100k+ atoms).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_conv_chunked(conv, mlp_spec, A, param_grads, RC, mlp_ws, x,
+                        emb_nk, sh_nk, src_nk):
+    K = src_nk.shape[1]
+    N = x.shape[0]
+    fwd, _ = _get_kernels(conv, mlp_spec, A, K, param_grads)
+
+    def chunk(carry, sl):
+        emb_c, sh_c, src_c = sl
+        xg = x[to_k_major(src_c, A)]
+        out = fwd(xg, to_k_major(emb_c, A), to_k_major(sh_c, A),
+                  tuple(mlp_ws))
+        # keep the scan's output stacking OUT of the pallas fusion (XLA
+        # otherwise stack-allocates the full stacked buffer in scoped vmem)
+        return carry, jax.lax.optimization_barrier(out)
+
+    nb = N // RC
+    sl = tuple(
+        a.reshape(nb, RC, *a.shape[1:]) for a in (emb_nk, sh_nk, src_nk)
+    )
+    _, outs = jax.lax.scan(chunk, 0, sl)
+    return outs.reshape(N, -1)
+
+
+def _fused_conv_chunked_fwd(conv, mlp_spec, A, param_grads, RC, mlp_ws, x,
+                            emb_nk, sh_nk, src_nk):
+    out = _fused_conv_chunked(conv, mlp_spec, A, param_grads, RC, mlp_ws,
+                              x, emb_nk, sh_nk, src_nk)
+    return out, (mlp_ws, x, emb_nk, sh_nk, src_nk)
+
+
+def _fused_conv_chunked_bwd(conv, mlp_spec, A, param_grads, RC, res, ybar):
+    mlp_ws, x, emb_nk, sh_nk, src_nk = res
+    N, K = src_nk.shape
+    dim_x = conv.irreps_x.dim
+    _, bwd = _get_kernels(conv, mlp_spec, A, K, param_grads)
+    nb = N // RC
+
+    def chunk(carry, sl):
+        dx, dmlp = carry
+        emb_c, sh_c, src_c, yb_c = sl
+        src_km = to_k_major(src_c, A)
+        xg = x[src_km]
+        outs = bwd(xg, to_k_major(emb_c, A), to_k_major(sh_c, A), yb_c,
+                   tuple(mlp_ws))
+        if param_grads:
+            dxg_km, demb_km, dsh_km, dmlp_c = outs
+            dmlp = tuple(a + b for a, b in zip(dmlp, dmlp_c))
+        else:
+            dxg_km, demb_km, dsh_km = outs
+        dx = dx.at[src_km].add(dxg_km)
+        return (dx, dmlp), (
+            from_k_major(demb_km, RC, K, A), from_k_major(dsh_km, RC, K, A)
+        )
+
+    sl = tuple(
+        a.reshape(nb, RC, *a.shape[1:])
+        for a in (emb_nk, sh_nk, src_nk, ybar)
+    )
+    dmlp0 = tuple(jnp.zeros_like(w) for w in mlp_ws)
+    (dx, dmlp), (demb, dsh) = jax.lax.scan(
+        chunk, (jnp.zeros((N, dim_x), x.dtype), dmlp0), sl
+    )
+    dmlp = tuple(g.astype(w.dtype) for g, w in zip(dmlp, mlp_ws))
+    return (
+        dmlp,
+        dx.astype(x.dtype),
+        demb.reshape(emb_nk.shape).astype(emb_nk.dtype),
+        dsh.reshape(sh_nk.shape).astype(sh_nk.dtype),
+        np.zeros(src_nk.shape, jax.dtypes.float0),
+    )
+
+
+_fused_conv_chunked.defvjp(_fused_conv_chunked_fwd, _fused_conv_chunked_bwd)
+
+
 def fused_conv_apply(
     conv: ConvTPSpec,
     mlp_spec: ScalarMLPSpec,
@@ -604,9 +727,13 @@ def fused_conv_apply(
     *,
     block_atoms: int = 0,
     param_grads: bool = True,
+    row_chunk: int = 0,
 ):
     """Fused Pallas conv with the mirror-reduced backward. ``x`` padding
-    rows must be inert (gathered but masked by zero emb)."""
+    rows must be inert (gathered but masked by zero emb). ``row_chunk``
+    (atoms, rounded to the block size) streams the gather + kernels in
+    chunks and switches the backward to scatter-add accumulation — the
+    memory-bounded mode for 100k+ atoms."""
     K = src_nk.shape[1]
     A = block_atoms or fused_conv_block_atoms(K)
     n = x.shape[0]
@@ -614,6 +741,15 @@ def fused_conv_apply(
         f"atom capacity {n} must be a multiple of the conv block size {A}"
     )
     ws = tuple(mlp_params["w"]) if isinstance(mlp_params, dict) else tuple(mlp_params)
+    if row_chunk and row_chunk < n:
+        RC = max(A, (row_chunk // A) * A)
+        while n % RC:
+            RC -= A
+        if RC > 0 and RC < n:
+            return _fused_conv_chunked(
+                conv, mlp_spec, A, bool(param_grads), RC, ws, x, emb_nk,
+                sh_nk, src_nk,
+            )
     return _fused_conv(
         conv, mlp_spec, A, bool(param_grads), ws, x, emb_nk, sh_nk,
         src_nk, mir_nk,

@@ -136,3 +136,29 @@ def test_fused_layer0_scalar_input():
     ref = _xla_ref(conv, mlp, mlp_p, x, emb, sh, src)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("param_grads", [True, False])
+def test_fused_chunked_matches_unchunked(param_grads):
+    """row_chunk streaming (the 100k-atom memory-bounded mode: scan over
+    row chunks, scatter-add backward) == the mirror-reduced full path."""
+    conv, mlp, mlp_p, x, emb, sh, src, mir, mask = _setup(N=32, K=8)
+    cot = jax.random.normal(jax.random.PRNGKey(9),
+                            (x.shape[0], conv.irreps_mid.dim)) * 0.1
+
+    def loss(p, x, emb, sh, rc):
+        out = fused_conv_apply(conv, mlp, p, x, emb, sh, src, mir,
+                               block_atoms=8, param_grads=param_grads,
+                               row_chunk=rc)
+        return jnp.sum(out * cot), out
+
+    (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                      has_aux=True)(mlp_p, x, emb, sh, 0)
+    (l2, o2), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                      has_aux=True)(mlp_p, x, emb, sh, 16)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
