@@ -88,13 +88,14 @@ def main():
             "self_connection_type": "linear",
             "conv_denominator": 35.0,
             "chemical_species": ["H", "O"],
-            # memory policy: small systems fit without remat or streaming
-            # (fastest); large systems use per-layer remat + atom-block
-            # streaming of the dense conv
+            # memory policy: the fused-conv custom_vjp (default on TPU)
+            # already recomputes its interior, so remat only helps the XLA
+            # fallback path; edge_chunk streams the fused conv in row
+            # chunks only above the 4 GB gather threshold (100k-scale)
             "_edge_chunk": int(
                 os.environ.get("BENCH_EDGE_CHUNK", 16384 if N_ATOMS > 4000 else 0)
             ),
-            "_remat": bool(int(os.environ.get("BENCH_REMAT", N_ATOMS > 4000))),
+            "_remat": bool(int(os.environ.get("BENCH_REMAT", 0))),
         }
     )
     params = model_init(jax.random.PRNGKey(0), spec)

@@ -33,7 +33,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["D3Params", "d3_energy", "D3Calculator", "FUNCTIONAL_PARAMS_BJ", "FUNCTIONAL_PARAMS_ZERO"]
+__all__ = [
+    "D3Params", "d3_energy", "d3_compute", "bounded_cutoff", "D3Calculator",
+    "FUNCTIONAL_PARAMS_BJ", "FUNCTIONAL_PARAMS_ZERO",
+]
 
 AU_TO_ANG = 0.52917726
 AU_TO_EV = 27.21138505
@@ -154,12 +157,14 @@ def d3_energy(
     d2 = (refs_cn1 - cni[:, None, None]) ** 2 + (refs_cn2 - cnj[:, None, None]) ** 2
     w = jnp.where(valid, jnp.exp(K3 * d2), 0.0)
     wsum = jnp.sum(w, axis=(1, 2))
-    # guard: if all weights underflow, fall back to the closest reference
+    # guard: if all weights underflow, fall back to the closest reference.
+    # The floor must keep wsum**2 representable in fp32 (the quotient-rule
+    # backward divides by it): 1e-30 underflowed to 0 -> NaN forces.
     big = jnp.where(valid, -d2, -jnp.inf)
     fallback = jax.nn.softmax(big.reshape(big.shape[0], -1) * 1e3, axis=-1)
     w_flat = jnp.where(
-        (wsum > 1e-30)[:, None],
-        w.reshape(w.shape[0], -1) / jnp.maximum(wsum, 1e-30)[:, None],
+        (wsum > 1e-15)[:, None],
+        w.reshape(w.shape[0], -1) / jnp.maximum(wsum, 1e-15)[:, None],
         fallback,
     )
     c6 = jnp.sum(w_flat * refs_c6.reshape(refs_c6.shape[0], -1), axis=-1)  # a.u.
@@ -192,48 +197,75 @@ def d3_energy(
     return jnp.sum(e_pair) * AU_TO_EV
 
 
+def d3_compute(params: D3Params, numbers, dst, src, ev, emask):
+    """Energy (eV), per-atom forces (eV/A) and 6-virial (model order
+    xx,yy,zz,xy,yz,zx; eV) from a padded full edge list, via autodiff of
+    :func:`d3_energy` w.r.t. the edge vectors (the reference computes the
+    same derivatives by hand in ``kernel_get_forces_with_dC6``,
+    ``pair_d3.cu:1783``)."""
+
+    def etot(ev):
+        return d3_energy(params, numbers, dst, src, ev, emask)
+
+    e, g = jax.value_and_grad(etot)(ev)
+    n = numbers.shape[0]
+    pf = jax.ops.segment_sum(g, dst, num_segments=n)
+    nf = jax.ops.segment_sum(g, src, num_segments=n)
+    forces = pf - nf
+    v6 = jnp.concatenate(
+        [ev * g,
+         (ev[:, 0] * g[:, 1])[:, None],
+         (ev[:, 1] * g[:, 2])[:, None],
+         (ev[:, 2] * g[:, 0])[:, None]],
+        axis=-1,
+    )
+    virial = -jnp.sum(v6, axis=0)
+    return e, forces, virial
+
+
+def bounded_cutoff(params: D3Params, cell, pbc) -> float:
+    """OPT-IN pair-cutoff bound for periodic boxes: three box heights
+    (never below the CN cutoff). Truncates the lattice sum relative to
+    dftd3's fixed ~50 A cutoff — use only where speed matters more than
+    the dispersion tail (the MD engine does; the default calculator keeps
+    the full cutoff so its values match the reference's CUDA D3 goldens,
+    ``tests/unit_tests/test_calculator.py:192-231``)."""
+    if cell is None or not np.asarray(pbc).any():
+        return params.cutoff
+    inv = np.linalg.inv(np.asarray(cell, np.float64))
+    heights = 1.0 / np.linalg.norm(inv.T, axis=1)
+    return float(
+        min(params.cutoff, max(3.0 * heights.max(), params.cn_cutoff))
+    )
+
+
 class D3Calculator:
     """Standalone ASE-style D3 calculator (the analogue of the reference's
     ``D3Calculator``, ``sevenn/calculator.py:387-618``)."""
 
     def __init__(self, functional: str = "pbe", damping_type: str = "damp_bj",
-                 cutoff_ang: Optional[float] = None):
+                 cutoff_ang: Optional[float] = None, bound_by_box: bool = False):
         damping = "bj" if "bj" in damping_type else "zero"
         p = D3Params.from_functional(functional, damping)
         if cutoff_ang is not None:
             p = D3Params(s6=p.s6, s8=p.s8, a1=p.a1, a2=p.a2, damping=p.damping,
                          alp=p.alp, cutoff=cutoff_ang, cn_cutoff=min(p.cn_cutoff, cutoff_ang))
         self.params = p
+        self.bound_by_box = bound_by_box
         self._jit = jax.jit(self._compute)
 
     def _compute(self, numbers, dst, src, ev, emask):
-        def etot(ev):
-            return d3_energy(self.params, numbers, dst, src, ev, emask)
-
-        e, g = jax.value_and_grad(etot)(ev)
-        n = numbers.shape[0]
-        pf = jax.ops.segment_sum(g, dst, num_segments=n)
-        nf = jax.ops.segment_sum(g, src, num_segments=n)
-        forces = pf - nf
-        v6 = jnp.concatenate(
-            [ev * g,
-             (ev[:, 0] * g[:, 1])[:, None],
-             (ev[:, 1] * g[:, 2])[:, None],
-             (ev[:, 2] * g[:, 0])[:, None]],
-            axis=-1,
-        )
-        virial = -jnp.sum(v6, axis=0)
-        return e, forces, virial
+        return d3_compute(self.params, numbers, dst, src, ev, emask)
 
     def calculate(self, atoms) -> dict:
         from .atoms import as_atoms
         from .data.neighborlist import neighbor_list_numpy
 
         at = as_atoms(atoms)
-        cutoff = self.params.cutoff
-        # D3's ~50 A default cutoff is heavy for small cells; the energy
-        # converges fast — use min(cutoff, 3 box heights) like typical
-        # dftd3 lattice summation bounds
+        cutoff = (
+            bounded_cutoff(self.params, at.cell, at.pbc)
+            if self.bound_by_box else self.params.cutoff
+        )
         dst, src, S = neighbor_list_numpy(at.positions, cutoff, at.cell, at.pbc)
         ev = at.positions[src] - at.positions[dst]
         if at.cell is not None:

@@ -65,12 +65,20 @@ class MDEngine:
         dense: bool = True,
         fused: Optional[bool] = None,
         param_grads_in_fused: bool = False,
+        d3: Optional[dict] = None,
     ):
         """``dense=True`` keeps the cell list's (N, K) slot layout and runs
         the dense-neighbor convolution; ``fused`` additionally switches to
         the Pallas fused conv kernels (feature-major fwd + mirror-reduced
         bwd) — the fastest path, default on TPU (interpret mode elsewhere
-        is too slow, so it defaults off)."""
+        is too slow, so it defaults off).
+
+        ``d3``: add Grimme D3 dispersion inside the jitted step (the
+        engine-side analogue of the reference's LAMMPS ``pair d3``,
+        ``pair_d3.cu``): a dict like ``{"functional": "pbe", "damping":
+        "damp_bj", "cutoff": 12.0}``. The pair cutoff is bounded by the box
+        (``d3.bounded_cutoff``); a second skin-shared neighbor list is
+        rebuilt along the model's."""
         import jax as _jax
 
         self.spec = spec
@@ -84,6 +92,28 @@ class MDEngine:
             fused = _jax.default_backend() == "tpu"
         self.fused = bool(fused) and dense
         self._fused_param_grads = bool(param_grads_in_fused)
+        self.k_model: Optional[int] = None  # truncated conv slot width
+        self.d3_params = None
+        self.d3_cl_spec: Optional[CellListSpec] = None
+        if d3:
+            from ..d3 import D3Params, bounded_cutoff
+
+            p = D3Params.from_functional(
+                d3.get("functional", "pbe"),
+                d3.get("damping", d3.get("damping_type", "damp_bj")),
+            )
+            cut = d3.get("cutoff") or bounded_cutoff(p, self.cell, True)
+            inv = np.linalg.inv(self.cell)
+            heights = 1.0 / np.linalg.norm(inv.T, axis=1)
+            max_cut = float(heights.min()) - self.skin - 1e-6
+            if cut > max_cut:
+                # the jit cell list resolves neighbors within +-1 image only
+                cut = max_cut
+            import dataclasses as _dc
+
+            self.d3_params = _dc.replace(
+                p, cutoff=cut, cn_cutoff=min(p.cn_cutoff, cut)
+            )
         self._run_cache: Dict = {}
 
     # -- setup ---------------------------------------------------------------
@@ -119,27 +149,61 @@ class MDEngine:
             # dense conv consumes the full (N, K) slot grid directly; the
             # fused kernel needs K % 8 == 0 and N divisible by its block
             k_cap2 = self.cl_spec.neighbor_capacity
-            if self.fused:
-                k_cap2 = -(-k_cap2 // 8) * 8
-                from ..ops.fused_conv import fused_conv_block_atoms
-
-                A = fused_conv_block_atoms(k_cap2)
-                n_atoms_cap = -(-n // A) * A
             self.cl_spec = dataclasses.replace(
                 self.cl_spec, edge_cap=0, neighbor_capacity=k_cap2
             )
+            # distance-sorted slot truncation: the NL is built at
+            # cutoff+skin, but the conv only needs neighbors within the
+            # model cutoff (edges beyond it carry a zero envelope). Sorting
+            # each atom's slots by distance and keeping a K' prefix cuts
+            # ~20% of the conv work; a dropped within-cutoff edge raises
+            # the overflow flag.
+            from ..data.neighborlist import neighbor_list_numpy as _nl
+
+            dstc, _, _ = _nl(
+                np.asarray(positions), self.spec.cutoff + 0.1 * self.skin,
+                self.cell, (True, True, True),
+            )
+            mx_c = int(np.bincount(dstc, minlength=n).max()) if len(dstc) else 8
+            k_model = int(np.ceil(mx_c * 1.15)) + 2
+            if self.fused:
+                k_model = -(-k_model // 8) * 8
+                from ..ops.fused_conv import fused_conv_block_atoms
+
+                A = fused_conv_block_atoms(k_model)
+                n_atoms_cap = -(-n // A) * A
+            if k_model > k_cap2:
+                self.cl_spec = dataclasses.replace(
+                    self.cl_spec, neighbor_capacity=k_model
+                )
+            self.k_model = min(k_model, self.cl_spec.neighbor_capacity)
             if (
-                self.spec.edge_dense_k != self.cl_spec.neighbor_capacity
+                self.spec.edge_dense_k != self.k_model
                 or self.spec.conv_fused != self.fused
             ):
                 # edge_chunk is reused by the dense path as the atom-block
                 # streaming granularity (chunk // K atoms per block)
                 self.spec = dataclasses.replace(
                     self.spec,
-                    edge_dense_k=self.cl_spec.neighbor_capacity,
+                    edge_dense_k=self.k_model,
                     conv_fused=self.fused,
                     conv_param_grads=self._fused_param_grads,
                 )
+        d3_edges_cap = 0
+        if self.d3_params is not None:
+            if self.d3_cl_spec is None:
+                from ..data.neighborlist import neighbor_list_numpy
+
+                dst3, _, _ = neighbor_list_numpy(
+                    np.asarray(positions), self.d3_params.cutoff + self.skin,
+                    self.cell, (True, True, True),
+                )
+                mx = int(np.bincount(dst3, minlength=n).max()) if len(dst3) else 8
+                self.d3_cl_spec = build_cell_list_spec(
+                    self.cell, n_atoms_cap, self.d3_params.cutoff, self.skin,
+                    neighbor_capacity=int(np.ceil(mx * 1.15)) + 2,
+                )
+            d3_edges_cap = self.d3_cl_spec.edge_capacity(n_atoms_cap)
         species = self.spec.z_to_type[np.asarray(atomic_numbers)]
         assert (species >= 0).all(), "unknown species for this model"
         state = init_md_state(
@@ -150,10 +214,20 @@ class MDEngine:
             temperature=temperature,
             seed=seed,
             n_atoms_cap=n_atoms_cap,
-            n_edges_cap=self.cl_spec.edge_capacity(n_atoms_cap),
+            n_edges_cap=(
+                n_atoms_cap * self.k_model
+                if self.dense
+                else self.cl_spec.edge_capacity(n_atoms_cap)
+            ),
             with_mirror=self.fused,
+            d3_edges_cap=d3_edges_cap,
         )
-        state = self._rebuild(state)
+        # jit the host-side rebuild too: eagerly it dispatches hundreds of
+        # individual ops, each a fresh remote compile at new shapes on the
+        # axon tunnel (minutes at 10k+ atoms)
+        if "rebuild" not in self._run_cache:
+            self._run_cache["rebuild"] = jax.jit(self._rebuild)
+        state = self._run_cache["rebuild"](state)
         forces, energy, stress = self._forces_jit(state)
         return state.replace(
             forces=forces, potential_energy=energy, stress=stress
@@ -164,11 +238,16 @@ class MDEngine:
         src, dst, shift, mask, overflow, pos_w = rebuild_neighbors(
             self.cl_spec, state.positions, state.cell, state.atom_mask
         )
+        if self.dense and self.k_model < self.cl_spec.neighbor_capacity:
+            src, dst, shift, mask, ofl_trunc = self._truncate_sorted(
+                src, shift, mask, pos_w, state.cell, state.n_atoms_cap
+            )
+            overflow = overflow | ofl_trunc
         edge_mir = state.edge_mir
         if self.fused:
             from ..ops.fused_conv import mirror_map
 
-            K = self.cl_spec.neighbor_capacity
+            K = self.k_model if self.dense else self.cl_spec.neighbor_capacity
             n = state.n_atoms_cap
             edge_mir = mirror_map(
                 src.reshape(n, K), shift.reshape(n, K, 3),
@@ -181,7 +260,7 @@ class MDEngine:
             heights / jnp.asarray(self.cl_spec.n_cells, heights.dtype)
             < self.cl_spec.cutoff
         )
-        return state.replace(
+        upd = dict(
             positions=pos_w,
             nl_positions=pos_w,
             edge_src=src,
@@ -190,6 +269,46 @@ class MDEngine:
             edge_mask=mask,
             edge_mir=edge_mir,
             nl_overflow=state.nl_overflow | overflow | too_small,
+        )
+        if self.d3_params is not None:
+            s3, d3, sh3, m3, ofl3, _ = rebuild_neighbors(
+                self.d3_cl_spec, pos_w, state.cell, state.atom_mask
+            )
+            upd.update(
+                d3_edge_src=s3, d3_edge_dst=d3, d3_edge_shift=sh3,
+                d3_edge_mask=m3,
+                nl_overflow=upd["nl_overflow"] | ofl3,
+            )
+        return state.replace(**upd)
+
+    def _truncate_sorted(self, src, shift, mask, pos_w, cell, n):
+        """Sort each atom's (K,) neighbor slots by distance, keep the
+        ``k_model`` prefix. A dropped edge within the MODEL cutoff (not the
+        skinned NL cutoff) flags overflow."""
+        K = self.cl_spec.neighbor_capacity
+        Kp = self.k_model
+        src = src.reshape(n, K)
+        shift = shift.reshape(n, K, 3)
+        mask = mask.reshape(n, K)
+        vec = pos_w[src] + shift @ cell - pos_w[:, None, :]
+        d2 = jnp.sum(vec * vec, axis=-1)
+        key = jnp.where(mask, d2, jnp.inf)
+        order = jnp.argsort(key, axis=1)
+        rows = jnp.arange(n)[:, None]
+        src_s = src[rows, order]
+        shift_s = shift[rows, order]
+        mask_s = mask[rows, order]
+        d2_s = key[rows, order]
+        ofl = jnp.any(
+            mask_s[:, Kp:] & (d2_s[:, Kp:] < self.spec.cutoff**2)
+        )
+        dst = jnp.repeat(jnp.arange(n, dtype=jnp.int32), Kp)
+        return (
+            src_s[:, :Kp].reshape(-1),
+            dst,
+            shift_s[:, :Kp].reshape(-1, 3),
+            mask_s[:, :Kp].reshape(-1),
+            ofl,
         )
 
     def _forces(self, state: MDState, compute_stress: bool = False):
@@ -203,7 +322,24 @@ class MDEngine:
             if compute_stress
             else jnp.zeros(6, state.positions.dtype)
         )
-        return out["forces"], out["energy"][0], stress
+        forces, energy = out["forces"], out["energy"][0]
+        if self.d3_params is not None:
+            from ..d3 import d3_compute
+
+            ev = (
+                state.positions[state.d3_edge_src]
+                - state.positions[state.d3_edge_dst]
+                + state.d3_edge_shift @ state.cell
+            )
+            e3, f3, v3 = d3_compute(
+                self.d3_params, state.z_numbers, state.d3_edge_dst,
+                state.d3_edge_src, ev, state.d3_edge_mask,
+            )
+            energy = energy + e3
+            forces = forces + f3
+            if compute_stress:
+                stress = stress + v3 / jnp.abs(jnp.linalg.det(state.cell))
+        return forces, energy, stress
 
     def _forces_jit(self, state: MDState):
         # jitted wrapper for host-side calls (eager evaluation materializes

@@ -59,6 +59,12 @@ class MDState:
     stress: jnp.ndarray  # (6,) voigt eV/A^3 (zeros unless engine computes it)
     thermo: jnp.ndarray  # (2, 3) Nose-Hoover chain (xi, v_xi) per link
     edge_mir: Optional[jnp.ndarray] = None  # (E,) mirror map (fused conv)
+    # optional D3 dispersion term (second, longer-ranged neighbor list)
+    z_numbers: Optional[jnp.ndarray] = None  # (N,) int32 atomic numbers
+    d3_edge_src: Optional[jnp.ndarray] = None  # (E3,) int32
+    d3_edge_dst: Optional[jnp.ndarray] = None  # (E3,) int32
+    d3_edge_shift: Optional[jnp.ndarray] = None  # (E3, 3)
+    d3_edge_mask: Optional[jnp.ndarray] = None  # (E3,) bool
 
     @property
     def n_atoms_cap(self):
@@ -100,6 +106,7 @@ def init_md_state(
     n_edges_cap: int = 0,
     dtype=jnp.float32,
     with_mirror: bool = False,
+    d3_edges_cap: int = 0,
 ) -> MDState:
     import jax
 
@@ -150,4 +157,12 @@ def init_md_state(
         edge_mir=(
             jnp.zeros(n_edges_cap, jnp.int32) if with_mirror else None
         ),
+        z_numbers=(
+            jnp.asarray(pad(np.asarray(atomic_numbers, np.int32)), jnp.int32)
+            if d3_edges_cap and atomic_numbers is not None else None
+        ),
+        d3_edge_src=jnp.zeros(d3_edges_cap, jnp.int32) if d3_edges_cap else None,
+        d3_edge_dst=jnp.zeros(d3_edges_cap, jnp.int32) if d3_edges_cap else None,
+        d3_edge_shift=jnp.zeros((d3_edges_cap, 3), dtype) if d3_edges_cap else None,
+        d3_edge_mask=jnp.zeros(d3_edges_cap, bool) if d3_edges_cap else None,
     )

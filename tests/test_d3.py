@@ -93,3 +93,102 @@ def test_cn_limits():
         )
     )
     assert e == 0.0
+
+
+def test_cross_framework_golden_h2o():
+    """Reference CUDA-D3 golden for a distorted H2O molecule
+    (/root/reference/tests/unit_tests/test_calculator.py:221-231) — a true
+    cross-framework check of the D3 physics, not a self-golden."""
+    at = AtomsLite(
+        positions=np.array(
+            [[0.0, 0.2, 0.12], [0.0, 0.76, -0.48], [0.0, -0.76, -0.48]]
+        ),
+        numbers=np.array([8, 1, 1]),
+        cell=None,
+        pbc=False,
+    )
+    calc = D3Calculator()  # pbe, BJ — reference defaults
+    res = calc.calculate(at)
+    assert abs(res["energy"] - (-0.009889134535170716)) < 2e-6
+    ref_f = np.array([
+        [0.0, 2.04263840e-03, 1.27477674e-03],
+        [0.0, -9.90038901e-05, 1.18046682e-06],
+        [0.0, -1.94363451e-03, -1.27595721e-03],
+    ])
+    np.testing.assert_allclose(res["forces"], ref_f, atol=5e-6)
+
+
+def test_cross_framework_golden_nacl_pbc():
+    """Reference CUDA-D3 golden for strained rocksalt NaCl
+    (/root/reference/tests/unit_tests/test_calculator.py:192-218):
+    energy, forces AND stress with the full ~50 A lattice sum."""
+    cell = np.array(
+        [[1.0, 2.815, 2.815], [2.815, 0.0, 2.815], [2.815, 2.815, 0.0]]
+    )
+    at = AtomsLite(
+        positions=np.array([[0.0, 0.0, 0.0], [2.815, 0.0, 0.0]]),
+        numbers=np.array([11, 17]),
+        cell=cell,
+        pbc=True,
+    )
+    calc = D3Calculator()
+    res = calc.calculate(at)
+    assert abs(res["energy"] - (-0.531393751583389)) < 5e-5
+    ref_f = np.array([
+        [-0.00570205, 0.00107457, 0.00107459],
+        [0.00570205, -0.00107457, -0.00107459],
+    ])
+    np.testing.assert_allclose(res["forces"], ref_f, atol=2e-5)
+    ref_s = np.array([
+        1.52403705e-02, 1.50417333e-02, 1.50417321e-02,
+        -3.22684163e-05, -5.05532863e-05, -5.05586994e-05,
+    ])
+    np.testing.assert_allclose(res["stress"], ref_s, atol=2e-5)
+
+
+def test_d3_in_md_engine():
+    """MDEngine(d3=...) runs dispersion inside the jitted step; the
+    initial energy/forces match D3Calculator at the same (engine-bounded)
+    cutoff added to the bare model."""
+    from sevennet_tpu.io import load_sevennet_checkpoint
+    from sevennet_tpu.md import MDEngine
+
+    spec, params = load_sevennet_checkpoint(
+        "/root/reference/tests/data/checkpoints/cp_0.pth"
+    )
+    rng = np.random.default_rng(3)
+    L = 9.6
+    cell = np.eye(3) * L
+    pts, Zs = [], []
+    for i in range(4):
+        for j in range(2):
+            for k in range(2):
+                pts.append([i * L / 4 + 0.9, j * L / 2 + 0.9, k * L / 2 + 0.9])
+                Zs.append(72 if (i + j) % 2 == 0 else 8)
+    pos = np.asarray(pts) + rng.normal(scale=0.05, size=(len(pts), 3))
+    Z = np.asarray(Zs)
+
+    eng0 = MDEngine(spec, params, cell, fused=False)
+    st0 = eng0.make_state(pos, Z)
+    eng3 = MDEngine(spec, params, cell, fused=False,
+                    d3={"functional": "pbe", "damping": "damp_bj"})
+    st3 = eng3.make_state(pos, Z)
+    cut = eng3.d3_params.cutoff
+    assert cut < L - eng3.skin + 1e-9  # bounded by the box for the cell list
+
+    calc = D3Calculator(cutoff_ang=cut)
+    at = AtomsLite(positions=pos, numbers=Z, cell=cell, pbc=True)
+    res = calc.calculate(at)
+
+    e_model = float(st0.potential_energy)
+    e_both = float(st3.potential_energy)
+    assert abs((e_both - e_model) - res["energy"]) < 5e-5
+    n = len(pos)
+    f_d3 = np.asarray(st3.forces)[:n] - np.asarray(st0.forces)[:n]
+    np.testing.assert_allclose(f_d3, res["forces"], atol=5e-5)
+
+    # a few NVE steps with D3 on: finite and conserving-ish
+    st3, (pe, ke) = eng3.run(st3, 10, dt=0.2, chunk=5)
+    tot = np.asarray(pe) + np.asarray(ke)
+    assert np.isfinite(tot).all()
+    assert abs(tot[-1] - tot[0]) < 5e-3
