@@ -52,10 +52,14 @@ class SevenNetTPUCalculator:
         params: Optional[Dict[str, Any]] = None,
         matmul_precision: str = "highest",
         compute_stress: bool = True,
+        fused: Optional[bool] = None,
     ):
         """``model`` is a path to a SevenNet ``.pth`` checkpoint, a path to a
-        native checkpoint directory, or an already-built ``ModelSpec`` (then
-        ``params`` must be given)."""
+        native checkpoint directory, a pretrained name ("7net-0", ...), or an
+        already-built ``ModelSpec`` (then ``params`` must be given).
+
+        ``fused`` switches single points to the dense (N, K) layout + fused
+        Pallas conv kernels (default on TPU, like the MD engine)."""
         if isinstance(model, ModelSpec):
             assert params is not None
             spec = model
@@ -68,21 +72,32 @@ class SevenNetTPUCalculator:
         self.params = params
         self.compute_stress = compute_stress
         self._precision = matmul_precision
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        self.fused = bool(fused)
         self._jitted = {}
         self.results: Dict[str, Any] = {}
 
     # -- core -----------------------------------------------------------------
-    def _compute_fn(self):
-        if "fn" not in self._jitted:
-            spec = self.spec
+    def _compute_fn(self, dense_k: int = 0):
+        key = ("fn", dense_k)
+        if key not in self._jitted:
+            import dataclasses
+
             prec = self._precision
+            spec = self.spec
+            if dense_k:
+                spec = dataclasses.replace(
+                    spec, edge_dense_k=dense_k, conv_fused=True,
+                    conv_param_grads=False, edge_chunk=0,
+                )
 
             def fn(params, graph):
                 with jax.default_matmul_precision(prec):
                     return model_compute(spec, params, graph, self.compute_stress)
 
-            self._jitted["fn"] = jax.jit(fn)
-        return self._jitted["fn"]
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
 
     def calculate(self, atoms) -> Dict[str, Any]:
         at = as_atoms(atoms)
@@ -99,10 +114,29 @@ class SevenNetTPUCalculator:
             at.positions, species, src, dst, shifts,
             at.cell if at.cell is not None else None,
         )
-        gb = batch_graphs(
-            [g], n_atoms_cap=_bucket(n), n_edges_cap=_bucket(max(len(dst), 1))
-        )
-        out = self._compute_fn()(self.params, gb)
+        if self.fused:
+            from .ops.fused_conv import (
+                fused_conv_block_atoms,
+                mirror_map_numpy,
+            )
+
+            counts = np.bincount(np.asarray(dst), minlength=n)
+            k = -(-_bucket(max(int(counts.max(initial=1)), 1)) // 8) * 8
+            A = fused_conv_block_atoms(k)
+            n_cap = -(-_bucket(n) // A) * A
+            gb = batch_graphs([g], n_atoms_cap=n_cap, dense_k=k)
+            mir = mirror_map_numpy(
+                np.asarray(gb.edge_src).reshape(n_cap, k),
+                np.asarray(gb.edge_shift).reshape(n_cap, k, 3),
+                np.asarray(gb.edge_mask).reshape(n_cap, k),
+            )
+            gb = gb.replace(edge_mir=mir.reshape(-1))
+            out = self._compute_fn(k)(self.params, gb)
+        else:
+            gb = batch_graphs(
+                [g], n_atoms_cap=_bucket(n), n_edges_cap=_bucket(max(len(dst), 1))
+            )
+            out = self._compute_fn()(self.params, gb)
 
         energy = float(out["energy"][0])
         forces = np.asarray(out["forces"])[:n]

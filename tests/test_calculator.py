@@ -73,3 +73,18 @@ def test_batched_calculator(reference_checkpoint_path, hfo2_structure):
     single = SevenNetTPUCalculator(reference_checkpoint_path).calculate(a1)
     assert abs(out[0]["energy"] - single["energy"]) < 1e-4
     assert np.abs(out[0]["forces"] - single["forces"]).max() < 1e-4
+
+
+def test_fused_calculator_matches_flat(reference_checkpoint_path, hfo2_structure):
+    """calculator(fused=True) — dense slot layout + fused Pallas kernels
+    (interpret mode on CPU) — matches the flat XLA path (the reference's
+    accelerator-equivalence pattern, tests/unit_tests/test_cueq.py)."""
+    pos, Z, cell = hfo2_structure
+    at = AtomsLite(positions=pos, numbers=Z, cell=cell, pbc=True)
+    flat = SevenNetTPUCalculator(reference_checkpoint_path, fused=False)
+    fused = SevenNetTPUCalculator(reference_checkpoint_path, fused=True)
+    r1 = flat.calculate(at)
+    r2 = fused.calculate(at)
+    assert abs(r1["energy"] - r2["energy"]) < 2e-5 * max(abs(r1["energy"]), 1)
+    np.testing.assert_allclose(r2["forces"], r1["forces"], atol=5e-5)
+    np.testing.assert_allclose(r2["stress"], r1["stress"], atol=5e-6)
