@@ -193,6 +193,158 @@ data:
     scale: 'force_rms'
     load_trainset_path: ['./train_pbe.extxyz']
 """,
+    "mf_0": """# SevenNet-MF-0: multi-fidelity SevenNet-0 architecture
+# (reference presets/MF_0.yaml; arXiv:2409.07947)
+model:
+    chemical_species: 'auto'
+    cutoff: 5.0
+    channel: 128
+    is_parity: False
+    lmax: 2
+    num_convolution_layer: 5
+    irreps_manual:
+        - "128x0e"
+        - "128x0e+64x1e+32x2e"
+        - "128x0e+64x1e+32x2e"
+        - "128x0e+64x1e+32x2e"
+        - "128x0e+64x1e+32x2e"
+        - "128x0e"
+    weight_nn_hidden_neurons: [64, 64]
+    radial_basis:
+        radial_basis_name: 'bessel'
+        bessel_basis_num: 8
+    cutoff_function:
+        cutoff_function_name: 'XPLOR'
+        cutoff_on: 4.5
+    conv_denominator: 'avg_num_neigh'
+    train_shift_scale: False
+    train_denominator: False
+    self_connection_type: 'linear'
+    use_modality: True
+    use_modal_node_embedding: False
+    use_modal_self_inter_intro: True
+    use_modal_self_inter_outro: True
+    use_modal_output_block: True
+    use_modal_wise_shift: True
+    use_modal_wise_scale: False
+train:
+    random_seed: 777
+    is_train_stress: True
+    epoch: 200
+    loss: 'Huber'
+    loss_param:
+        delta: 0.01
+    optimizer: 'adam'
+    optim_param:
+        lr: 0.01
+    scheduler: 'linearlr'
+    scheduler_param:
+        start_factor: 1.0
+        total_iters: 200
+        end_factor: 0.0001
+    force_loss_weight: 1.00
+    stress_loss_weight: 0.01
+data:
+    batch_size: 4
+    shift: 'elemwise_reference_energies'
+    scale: 'force_rms'
+    data_divide_ratio: 0.1
+""",
+    "mf_ompa_fine_tune": """# fine-tune SevenNet-MF-ompa
+# (reference presets/mf_ompa_fine_tune.yaml; architecture is fixed)
+model:
+    cutoff: 6.0
+    channel: 128
+    irreps_manual:
+        - "128x0e"
+        - "128x0e+64x1o+32x2e+32x3o"
+        - "128x0e+64x1o+64x1e+32x2o+32x2e+32x3o+32x3e"
+        - "128x0o+128x0e+64x1o+64x1e+32x2o+32x2e+32x3o+32x3e"
+        - "128x0e+64x1o+32x2e+32x3o"
+        - "128x0e"
+    lmax: 3
+    is_parity: True
+    num_convolution_layer: 5
+    radial_basis:
+        radial_basis_name: 'bessel'
+        bessel_basis_num: 8
+    cutoff_function:
+        cutoff_function_name: 'XPLOR'
+        cutoff_on: 5.5
+    weight_nn_hidden_neurons: [64, 64]
+    train_denominator: False
+    train_shift_scale: False
+    use_modality: True
+    use_modal_node_embedding: False
+    use_modal_self_inter_intro: True
+    use_modal_self_inter_outro: True
+    use_modal_output_block: True
+    use_modal_wise_shift: True
+    self_connection_type: 'linear'
+train:
+    random_seed: 777
+    is_train_stress: True
+    epoch: 100
+    loss: 'Huber'
+    loss_param:
+        delta: 0.01
+    optimizer: 'adam'
+    optim_param:
+        lr: 0.0002
+    scheduler: 'linearlr'
+    scheduler_param:
+        start_factor: 1.0
+        total_iters: 100
+        end_factor: 0.01
+    force_loss_weight: 1.00
+    stress_loss_weight: 0.01
+    continue:
+        checkpoint: '7net-mf-ompa'
+        use_statistic_values_of_checkpoint: True
+data:
+    batch_size: 4
+""",
+    "fine_tune_le": """# 7net-0 fine-tuning for liquid electrolytes
+# (reference presets/fine_tune_le.yaml; arXiv:2501.05211)
+model:
+    chemical_species: 'auto'
+    cutoff: 5.0
+    channel: 128
+    is_parity: False
+    lmax: 2
+    num_convolution_layer: 5
+    irreps_manual:
+        - "128x0e"
+        - "128x0e+64x1e+32x2e"
+        - "128x0e+64x1e+32x2e"
+        - "128x0e+64x1e+32x2e"
+        - "128x0e+64x1e+32x2e"
+        - "128x0e"
+    weight_nn_hidden_neurons: [64, 64]
+    radial_basis:
+        radial_basis_name: 'bessel'
+        bessel_basis_num: 8
+    cutoff_function:
+        cutoff_function_name: 'XPLOR'
+        cutoff_on: 4.5
+    self_connection_type: 'linear'
+train:
+    random_seed: 777
+    is_train_stress: False
+    epoch: 100
+    loss: 'Huber'
+    loss_param:
+        delta: 0.01
+    optimizer: 'adam'
+    optim_param:
+        lr: 0.0001
+    force_loss_weight: 1.00
+    continue:
+        checkpoint: '7net-0'
+        use_statistic_values_of_checkpoint: True
+data:
+    batch_size: 4
+""",
 }
 
 

@@ -71,6 +71,10 @@ _EXTRA_MODEL_KEYS = {
     "lmax_edge", "lmax_node", "_normalize_sph", "conv_denominator",
     "train_denominator", "train_shift_scale", "shift", "scale",
     "use_modal_wise_shift", "use_modal_wise_scale", "use_modality",
+    "chemical_species", "num_modalities", "modal_map",
+    "use_modal_node_embedding", "use_modal_self_inter_intro",
+    "use_modal_self_inter_outro", "use_modal_output_block",
+    "_edge_chunk", "_remat", "_conv_dense",
 }
 _EXTRA_TRAIN_KEYS = {"device", "dtype", "num_workers", "use_weight"}
 _EXTRA_DATA_KEYS = {

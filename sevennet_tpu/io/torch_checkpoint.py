@@ -26,6 +26,57 @@ def _to_numpy_state_dict(sd) -> Dict[str, np.ndarray]:
     return {k: v.detach().cpu().numpy() for k, v in sd.items()}
 
 
+def patch_old_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Legacy layer-name compatibility (reference
+    ``scripts/backward_compatibility.py:43-77``): pre-2024 checkpoints used
+    spaces in module names and 'denumerator' for the conv denominator."""
+    ren = {
+        "EdgeEmbedding": "edge_embedding",
+        "reducing nn input to hidden": "reduce_input_to_hidden",
+        "reducing nn hidden to energy": "reduce_hidden_to_energy",
+        "rescale atomic energy": "rescale_atomic_energy",
+    }
+    for i in range(10):
+        ren[f"{i} self connection intro"] = f"{i}_self_connection_intro"
+        ren[f"{i} self interaction 1"] = f"{i}_self_interaction_1"
+        ren[f"{i} convolution"] = f"{i}_convolution"
+        ren[f"{i} self interaction 2"] = f"{i}_self_interaction_2"
+        ren[f"{i} equivariant gate"] = f"{i}_equivariant_gate"
+    out = {}
+    for k, v in sd.items():
+        head, _, tail = k.partition(".")
+        tail = tail.replace("denumerator", "denominator")
+        out[ren.get(head, head) + ("." + tail if tail else "")] = v
+    return out
+
+
+def patch_old_config(config: Dict[str, Any]) -> Dict[str, Any]:
+    """Legacy config-key compatibility (reference
+    ``scripts/backward_compatibility.py:18-41``)."""
+    cfg = dict(config)
+    version = str(cfg.get("version", "0.10.0"))
+    try:
+        major, minor = (int(x) for x in version.split(".")[:2])
+    except ValueError:
+        major, minor = 0, 10
+    if major == 0 and minor <= 9:
+        cf = cfg.get("cutoff_function")
+        if isinstance(cf, dict) and cf.get("cutoff_function_name") == "XPLOR":
+            cf = dict(cf)
+            cf.pop("poly_cut_p_value", None)
+            cfg["cutoff_function"] = cf
+        if "train_denominator" not in cfg:
+            cfg["train_denominator"] = cfg.pop("train_avg_num_neigh", False)
+        if cfg.pop("optimize_by_reduce", None) is False:
+            raise ValueError(
+                "checkpoint with optimize_by_reduce=False is no longer "
+                "supported (matches the reference's policy)"
+            )
+        cfg.setdefault("conv_denominator", 0.0)
+        cfg.setdefault("_normalize_sph", False)
+    return cfg
+
+
 def spec_config_from_checkpoint(config: Dict[str, Any], sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """Extract a numeric model config: string placeholders like
     'avg_num_neigh' shift/scale are replaced by the resolved values stored in
@@ -119,8 +170,8 @@ def load_sevennet_checkpoint(path: str, dtype=None) -> Tuple[ModelSpec, Dict[str
     import torch
 
     cp = torch.load(path, map_location="cpu", weights_only=False)
-    sd = _to_numpy_state_dict(cp["model_state_dict"])
-    cfg = spec_config_from_checkpoint(cp["config"], sd)
+    sd = patch_old_state_dict(_to_numpy_state_dict(cp["model_state_dict"]))
+    cfg = spec_config_from_checkpoint(patch_old_config(cp["config"]), sd)
     spec = build_model_spec(cfg)
     params = params_from_torch_state_dict(spec, sd, dtype=dtype)
     return spec, params

@@ -23,10 +23,10 @@ def inference(
 ):
     import jax
 
-    from ..io.native_checkpoint import load_checkpoint
+    from ..io.registry import load_model
     from ..model.model import model_compute
 
-    spec, params, _ = load_checkpoint(checkpoint)
+    spec, params = load_model(checkpoint)  # name / .pth / native
     ds = GraphDataset.from_extxyz(targets, spec.cutoff)
     ds.build(spec.z_to_type)
 

@@ -101,8 +101,14 @@ def train_run(
             validset = GraphDataset.from_extxyz(
                 data_cfg["load_validset_path"], cutoff
             )
-    elif float(data_cfg.get("ratio", 0.0)) > 0:
-        trainset, validset = trainset.split(float(data_cfg["ratio"]))
+    elif float(
+        data_cfg.get("ratio") or data_cfg.get("data_divide_ratio") or 0.0
+    ) > 0:
+        # reference key: data_divide_ratio (``_const.py``); 'ratio' kept as
+        # a shorthand alias
+        trainset, validset = trainset.split(float(
+            data_cfg.get("ratio") or data_cfg["data_divide_ratio"]
+        ))
     log.format_k_v("# train structures", len(trainset))
     log.format_k_v("# valid structures", len(validset) if validset else 0)
 

@@ -113,3 +113,41 @@ def test_pretrained_registry(tmp_path, monkeypatch):
     assert spec.cutoff > 0
     # a plain existing path passes straight through
     assert resolve_checkpoint(REFERENCE_CP) == REFERENCE_CP
+
+
+def test_legacy_name_and_config_patches():
+    """Pre-2024 checkpoints: space-named modules, 'denumerator', dropped
+    keys (reference scripts/backward_compatibility.py)."""
+    import numpy as np
+
+    from sevennet_tpu.io.torch_checkpoint import (
+        patch_old_config,
+        patch_old_state_dict,
+    )
+
+    sd = {
+        "EdgeEmbedding.basis_function.coeffs": np.zeros(8),
+        "0 self interaction 1.linear.weight": np.zeros(4),
+        "0 convolution.denumerator": np.asarray([12.0]),
+        "rescale atomic energy.shift": np.asarray([0.1]),
+        "onehot_to_feature_x.linear.weight": np.zeros(2),
+    }
+    out = patch_old_state_dict(sd)
+    assert "edge_embedding.basis_function.coeffs" in out
+    assert "0_self_interaction_1.linear.weight" in out
+    assert "0_convolution.denominator" in out
+    assert "rescale_atomic_energy.shift" in out
+    assert "onehot_to_feature_x.linear.weight" in out
+
+    cfg = patch_old_config({
+        "version": "0.9.3",
+        "cutoff_function": {"cutoff_function_name": "XPLOR",
+                            "poly_cut_p_value": 6, "cutoff_on": 4.5},
+        "train_avg_num_neigh": True,
+    })
+    assert "poly_cut_p_value" not in cfg["cutoff_function"]
+    assert cfg["train_denominator"] is True
+    assert cfg["conv_denominator"] == 0.0
+    # modern configs pass through untouched
+    cfg2 = patch_old_config({"version": "0.11.0", "conv_denominator": 35.0})
+    assert cfg2["conv_denominator"] == 35.0

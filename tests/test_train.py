@@ -243,3 +243,20 @@ def test_unknown_config_key_rejected():
             "train": {"opitmizer": "adam"},
             "data": {},
         })
+
+
+def test_all_presets_parse():
+    """Every shipped preset yaml passes the strict config parser (the CLI
+    train entry would otherwise reject its own presets)."""
+    import yaml
+
+    from sevennet_tpu.cli.main import PRESETS
+    from sevennet_tpu.config import config_from_dicts
+
+    assert set(PRESETS) >= {
+        "base", "fine_tune", "sevennet-0", "sevennet-l3i5", "multi_modal",
+        "mf_0", "mf_ompa_fine_tune", "fine_tune_le",
+    }
+    for name, text in PRESETS.items():
+        model, train, data = config_from_dicts(yaml.safe_load(text))
+        assert model["cutoff"] > 0, name
