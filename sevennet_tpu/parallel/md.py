@@ -3,32 +3,40 @@ counterpart of the reference's parallel LAMMPS pair style
 (``pair_e3gnn_parallel.cpp:194-506`` + the modified CommBrick halo exchange,
 ``comm_brick.cpp:1057-1123``), redesigned for SPMD:
 
-- 1-D slab decomposition along one axis of an ORTHOGONAL cell; each device
-  owns the atoms in its slab (fixed capacity + mask).
-- Per step: ghost POSITIONS are refreshed with two ``lax.ppermute`` calls
-  (the CommBrick forward_comm analogue over ICI), then the energy is
-  evaluated with a per-layer ghost FEATURE halo (the JCTC layer-synchronous
-  scheme); forces come from ``jax.grad`` of the psum'd local energy — AD
-  transposes the ppermutes, which IS the reverse_comm accumulation
-  (``:404-441``) without hand-written code.
-- Neighbor rebuild + ATOM MIGRATION run inside the jitted step under a
+- 1-D slab or 2-D/3-D **brick** decomposition of an ORTHOGONAL cell over a
+  1-3-axis mesh; each device owns the atoms in its brick (fixed capacity +
+  mask).
+- Halos use the CommBrick **staged swap** scheme: exchange along axis 0,
+  then along axis 1 shipping owned + axis-0 ghosts, then axis 2 — corner
+  and edge ghosts ride along automatically with 2 ``ppermute`` calls per
+  axis (``comm_brick.cpp:1057-1095`` does the same with 6 MPI swaps).
+- Per step: ghost POSITIONS are refreshed with the staged exchanges, then
+  the energy is evaluated with per-layer staged ghost FEATURE halos (the
+  JCTC layer-synchronous scheme); forces come from ``jax.grad`` of the
+  LOCAL energy sum — the ppermute transposes collectively route ghost
+  cotangents back to owners, which IS the reference's ``reverse_comm``
+  accumulation (``:404-441``) without hand-written code. (Do NOT psum the
+  energy before grad: under ``check_vma=False`` the psum transpose would
+  multiply forces by the device count.)
+- Neighbor rebuild + ATOM MIGRATION run inside the jitted scan under a
   globally-agreed ``lax.cond`` (psum'd skin trigger): migrants pack into
-  fixed-capacity buffers, ppermute to adjacent slabs, and compact into the
-  owner's free slots; the per-domain cell list runs on the extended
-  (owned + ghost) set in a padded local frame so the existing jit cell
-  list (md/neighbor.py) is reused unchanged.
+  fixed-capacity buffers and ppermute to face neighbors axis by axis
+  (diagonal moves complete across the sequential axis passes, like
+  LAMMPS), then compact into the owner's free slots; the per-domain cell
+  list runs on the extended (owned + ghost) set in a padded local frame so
+  the existing jit cell list (md/neighbor.py) is reused unchanged.
 - All capacity violations raise the overflow flag for the host to rebuild
   with bigger capacities (the static-shape analogue of LAMMPS' dynamic
   growth; cf. ``pair_e3gnn.cpp:283-288``).
 
-Works on any 1-D mesh — 8 virtual CPU devices in tests, ICI on a pod.
+Works on any mesh — 8 virtual CPU devices (1x8, 2x4 or 2x2x2) in tests,
+ICI on a pod.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +60,7 @@ __all__ = ["DistributedMDEngine", "DistMDState"]
 
 @struct.dataclass
 class DistMDState:
-    """Per-device stacked MD state (leading axis = device)."""
+    """Per-device stacked MD state (leading axis = flattened device)."""
 
     positions: jnp.ndarray   # (D, NL, 3) global coords, wrapped
     velocities: jnp.ndarray  # (D, NL, 3)
@@ -60,14 +68,15 @@ class DistMDState:
     species: jnp.ndarray     # (D, NL) int32
     masses: jnp.ndarray      # (D, NL)
     atom_mask: jnp.ndarray   # (D, NL) bool
-    # halo machinery (rebuilt with the NL)
-    send_left: jnp.ndarray   # (D, S) int32 local indices
-    send_left_mask: jnp.ndarray
-    send_right: jnp.ndarray
-    send_right_mask: jnp.ndarray
-    # dense neighbor slots: src indexes the EXTENDED array [owned | gL | gR]
+    # halo machinery, one entry per decomposed axis (stage); the stage-s
+    # send lists index into the EXTENDED array after stages < s
+    send_lo: Tuple[jnp.ndarray, ...]       # (D, S_s) int32
+    send_lo_mask: Tuple[jnp.ndarray, ...]  # (D, S_s) bool
+    send_hi: Tuple[jnp.ndarray, ...]
+    send_hi_mask: Tuple[jnp.ndarray, ...]
+    # dense neighbor slots: src indexes the EXTENDED array [owned | ghosts]
     edge_src: jnp.ndarray    # (D, NL, K) int32
-    edge_shift: jnp.ndarray  # (D, NL, K, 3) in-plane wraps (axis comp 0)
+    edge_shift: jnp.ndarray  # (D, NL, K, 3) wraps along non-decomposed axes
     edge_mask: jnp.ndarray   # (D, NL, K) bool
     nl_positions: jnp.ndarray  # (D, NL, 3)
     step: jnp.ndarray        # () int32
@@ -91,9 +100,11 @@ def _pack(mask, cap, fill_idx=0):
 
 
 class DistributedMDEngine:
-    """Slab-decomposed MD engine over a 1-D 'dd' mesh.
+    """Brick-decomposed MD engine over a 1-3 axis mesh.
 
-    Requires an orthogonal cell; the slab axis defaults to the longest one.
+    Requires an orthogonal cell. ``axes`` maps mesh axes (in
+    ``mesh.axis_names`` order) to cell axes; by default the longest cell
+    axes are used. For a 1-D mesh the legacy ``axis`` argument is honored.
     """
 
     def __init__(
@@ -104,8 +115,9 @@ class DistributedMDEngine:
         mesh: Mesh,
         skin: float = 0.6,
         axis: Optional[int] = None,
+        axes: Optional[Sequence[int]] = None,
         local_cap: Optional[int] = None,
-        ghost_cap: Optional[int] = None,
+        ghost_caps: Optional[Sequence[int]] = None,
         migrate_cap: Optional[int] = None,
         matmul_precision: str = "highest",
     ):
@@ -118,20 +130,40 @@ class DistributedMDEngine:
         self.params = params
         self.cell = cell
         self.mesh = mesh
-        self.D = mesh.devices.size
+        self.axis_names: Tuple[str, ...] = tuple(mesh.axis_names)
+        self.dims: Tuple[int, ...] = tuple(
+            mesh.devices.shape[i] for i in range(len(self.axis_names))
+        )
+        self.D = int(mesh.devices.size)
+        self.n_stages = len(self.axis_names)
+        assert 1 <= self.n_stages <= 3
         self.skin = float(skin)
         self.rc = float(spec.cutoff) + self.skin
         self.precision = matmul_precision
         lengths = np.diag(cell)
-        self.axis = int(np.argmax(lengths)) if axis is None else int(axis)
-        self.L = float(lengths[self.axis])
-        self.w = self.L / self.D
-        assert self.w >= self.rc, (
-            f"slab width {self.w:.2f} < cutoff+skin {self.rc:.2f}: "
-            "use fewer devices or a bigger box"
+        if axes is None:
+            if axis is not None and self.n_stages == 1:
+                axes = (int(axis),)
+            else:
+                axes = tuple(
+                    int(i) for i in np.argsort(-lengths)[: self.n_stages]
+                )
+        self.axes: Tuple[int, ...] = tuple(int(a) for a in axes)
+        assert len(self.axes) == self.n_stages
+        assert len(set(self.axes)) == self.n_stages
+        self.L = tuple(float(lengths[a]) for a in self.axes)
+        self.w = tuple(
+            self.L[s] / self.dims[s] for s in range(self.n_stages)
         )
+        for s in range(self.n_stages):
+            assert self.w[s] >= self.rc or self.dims[s] == 1, (
+                f"brick width {self.w[s]:.2f} along cell axis {self.axes[s]}"
+                f" < cutoff+skin {self.rc:.2f}: use fewer devices or a "
+                "bigger box"
+            )
+        self.axis = self.axes[0]  # legacy attribute
         self.local_cap = local_cap
-        self.ghost_cap = ghost_cap
+        self.ghost_caps = list(ghost_caps) if ghost_caps else None
         self.migrate_cap = migrate_cap
         self.cl_spec: Optional[CellListSpec] = None
         self._run_cache: Dict = {}
@@ -139,6 +171,22 @@ class DistributedMDEngine:
     # ------------------------------------------------------------------
     # host-side initial decomposition (vectorized numpy)
     # ------------------------------------------------------------------
+    def _owner_coords(self, frac: np.ndarray) -> np.ndarray:
+        """(n, n_stages) integer brick coordinates from fractional pos."""
+        out = np.zeros((len(frac), self.n_stages), int)
+        for s, a in enumerate(self.axes):
+            out[:, s] = np.minimum(
+                (frac[:, a] * self.dims[s]).astype(int), self.dims[s] - 1
+            )
+        return out
+
+    def _linear_device(self, coords: np.ndarray) -> np.ndarray:
+        """Brick coords -> flattened device index (C order over mesh dims)."""
+        lin = np.zeros(len(coords), int)
+        for s in range(self.n_stages):
+            lin = lin * self.dims[s] + coords[:, s]
+        return lin
+
     def make_state(self, positions, atomic_numbers, temperature=None,
                    seed=0, velocities=None):
         pos = np.asarray(positions, np.float64)
@@ -146,36 +194,69 @@ class DistributedMDEngine:
         frac = pos @ np.linalg.inv(self.cell)
         frac -= np.floor(frac)
         pos = frac @ self.cell
-        owner = np.minimum(
-            (frac[:, self.axis] * self.D).astype(int), self.D - 1
-        )
+        coords = self._owner_coords(frac)
+        owner = self._linear_device(coords)
         counts = np.bincount(owner, minlength=self.D)
         if self.local_cap is None:
             self.local_cap = int(-(-int(counts.max() * 1.3 + 8) // 8) * 8)
         NL = self.local_cap
-        # ghost capacity: atoms within rc of a slab face, with margin
-        band = np.minimum(
-            frac[:, self.axis] * self.L % self.w,
-            self.w - (frac[:, self.axis] * self.L % self.w),
-        )
-        per_face = max(
-            int(np.sum(band < self.rc) / max(self.D, 1)), 8
-        )
-        if self.ghost_cap is None:
-            self.ghost_cap = int(-(-int(per_face * 1.6 + 8) // 8) * 8)
+
+        # per-stage ghost capacities: count atoms in each device's halo
+        # band at stage s (the band of the brick EXTENDED by rc along all
+        # previous stage axes), with margin
+        if self.ghost_caps is None:
+            self.ghost_caps = []
+            for s in range(self.n_stages):
+                a = self.axes[s]
+                best = 8
+                for d in range(self.D):
+                    # unflatten d -> coords
+                    rem, dc = d, []
+                    for t in range(self.n_stages - 1, -1, -1):
+                        dc.append(rem % self.dims[t])
+                        rem //= self.dims[t]
+                    dc = dc[::-1]
+                    sel = np.ones(n, bool)
+                    for t in range(s):
+                        at = self.axes[t]
+                        lo = dc[t] * self.w[t] - self.rc
+                        hi = (dc[t] + 1) * self.w[t] + self.rc
+                        c = pos[:, at]
+                        Lt = self.L[t]
+                        inside = (
+                            ((c - lo) % Lt <= (hi - lo))
+                            if self.dims[t] > 1 else np.ones(n, bool)
+                        )
+                        sel &= inside
+                    if self.dims[s] == 1:
+                        cnt = 0
+                    else:
+                        c = pos[sel][:, a]
+                        lo_face = dc[s] * self.w[s]
+                        hi_face = (dc[s] + 1) * self.w[s]
+                        Ls = self.L[s]
+                        near_lo = (lo_face - c) % Ls <= self.rc
+                        near_hi = (c - hi_face) % Ls <= self.rc
+                        cnt = max(int(near_lo.sum()), int(near_hi.sum()))
+                    best = max(best, cnt)
+                self.ghost_caps.append(
+                    int(-(-int(best * 1.6 + 8) // 8) * 8)
+                )
         if self.migrate_cap is None:
-            self.migrate_cap = max(self.ghost_cap // 2, 16)
+            self.migrate_cap = max(max(self.ghost_caps) // 2, 16)
+
         if self.cl_spec is None:
-            # local frame cell: slab + two halos + decoupling gap
-            z_ext = self.w + 2 * self.rc + 2.2 * self.rc
+            # local frame cell: brick + two halos + decoupling gap along
+            # every decomposed axis with >1 device
             fake = self.cell.copy()
-            fake[self.axis, self.axis] = z_ext
-            next_cap = NL + 2 * self.ghost_cap
+            for s, a in enumerate(self.axes):
+                if self.dims[s] > 1:
+                    fake[a, a] = self.w[s] + 2 * self.rc + 2.2 * self.rc
+            next_cap = NL + 2 * sum(self.ghost_caps)
             self.cl_spec = build_cell_list_spec(
                 fake, next_cap, self.spec.cutoff, self.skin
             )
-            # keep the full (N, K) slot grid (no edge compaction): the
-            # engine reshapes NL rows out of it per rebuild
+            # keep the full (N, K) slot grid (no edge compaction)
             self.cl_spec = dataclasses.replace(self.cl_spec, edge_cap=0)
             self.fake_cell = fake
 
@@ -211,7 +292,6 @@ class DistributedMDEngine:
             msk[d, : len(sel)] = True
 
         K = self.cl_spec.neighbor_capacity
-        Scap = self.ghost_cap
         state = DistMDState(
             positions=jnp.asarray(P_),
             velocities=jnp.asarray(V),
@@ -219,10 +299,18 @@ class DistributedMDEngine:
             species=jnp.asarray(S),
             masses=jnp.asarray(M),
             atom_mask=jnp.asarray(msk),
-            send_left=jnp.zeros((D, Scap), jnp.int32),
-            send_left_mask=jnp.zeros((D, Scap), bool),
-            send_right=jnp.zeros((D, Scap), jnp.int32),
-            send_right_mask=jnp.zeros((D, Scap), bool),
+            send_lo=tuple(
+                jnp.zeros((D, c), jnp.int32) for c in self.ghost_caps
+            ),
+            send_lo_mask=tuple(
+                jnp.zeros((D, c), bool) for c in self.ghost_caps
+            ),
+            send_hi=tuple(
+                jnp.zeros((D, c), jnp.int32) for c in self.ghost_caps
+            ),
+            send_hi_mask=tuple(
+                jnp.zeros((D, c), bool) for c in self.ghost_caps
+            ),
             edge_src=jnp.zeros((D, A, K), jnp.int32),
             edge_shift=jnp.zeros((D, A, K, 3), jnp.float32),
             edge_mask=jnp.zeros((D, A, K), bool),
@@ -235,86 +323,103 @@ class DistributedMDEngine:
         return state
 
     # ------------------------------------------------------------------
-    # per-device pieces (called inside shard_map; axis name 'dd')
+    # per-device pieces (called inside shard_map; named mesh axes)
     # ------------------------------------------------------------------
-    def _axis_origin(self, dtype):
-        d = jax.lax.axis_index("dd")
-        return (d.astype(dtype)) * jnp.asarray(self.w, dtype)
+    def _perm(self, s: int, up: bool):
+        Dv = self.dims[s]
+        if up:
+            return [(i, (i + 1) % Dv) for i in range(Dv)]
+        return [(i, (i - 1) % Dv) for i in range(Dv)]
 
-    def _exchange(self, arr, send_l, ml, send_r, mr):
-        """Ship masked owned rows both ways; returns (from_left, from_right)
-        each (S, ...)."""
-        sl = arr[send_l] * ml.reshape(ml.shape + (1,) * (arr.ndim - 1)).astype(
-            arr.dtype
-        )
-        sr = arr[send_r] * mr.reshape(mr.shape + (1,) * (arr.ndim - 1)).astype(
-            arr.dtype
-        )
-        if self.D == 1:
-            return sr, sl
-        perm_r = [(i, (i + 1) % self.D) for i in range(self.D)]
-        perm_l = [(i, (i - 1) % self.D) for i in range(self.D)]
-        from_left = jax.lax.ppermute(sr, "dd", perm_r)
-        from_right = jax.lax.ppermute(sl, "dd", perm_l)
-        return from_left, from_right
+    def _exchange_stage(self, s, arr, send_lo, mlo, send_hi, mhi):
+        """Ship masked rows of ``arr`` (indexed by the stage-s send lists)
+        both ways along mesh axis s; returns (from_lo, from_hi)."""
+        slo = arr[send_lo] * mlo.reshape(
+            mlo.shape + (1,) * (arr.ndim - 1)
+        ).astype(arr.dtype)
+        shi = arr[send_hi] * mhi.reshape(
+            mhi.shape + (1,) * (arr.ndim - 1)
+        ).astype(arr.dtype)
+        if self.dims[s] == 1:
+            return shi, slo
+        name = self.axis_names[s]
+        from_lo = jax.lax.ppermute(shi, name, self._perm(s, up=True))
+        from_hi = jax.lax.ppermute(slo, name, self._perm(s, up=False))
+        return from_lo, from_hi
 
-    def _ghost_positions(self, state_pos, send_l, ml, send_r, mr, gml, gmr):
-        """Per-step ghost position refresh (+ periodic seam correction)."""
-        dtype = state_pos.dtype
-        from_left, from_right = self._exchange(state_pos, send_l, ml, send_r, mr)
-        d = jax.lax.axis_index("dd")
-        Lv = jnp.asarray(self.L, dtype)
-        corr_l = jnp.where(d == 0, -Lv, 0.0)   # left neighbor wraps down
-        corr_r = jnp.where(d == self.D - 1, Lv, 0.0)
-        ax = self.axis
-        from_left = from_left.at[:, ax].add(corr_l * gml.astype(dtype))
-        from_right = from_right.at[:, ax].add(corr_r * gmr.astype(dtype))
-        return jnp.concatenate([from_left, from_right], axis=0)
+    def _ghost_masks_stage(self, s, mlo, mhi):
+        if self.dims[s] == 1:
+            return mhi, mlo
+        name = self.axis_names[s]
+        gml = jax.lax.ppermute(mhi, name, self._perm(s, up=True))
+        gmh = jax.lax.ppermute(mlo, name, self._perm(s, up=False))
+        return gml, gmh
 
-    def _ghost_masks(self, ml, mr):
-        """Validity of ghost rows after exchange (static per rebuild)."""
-        if self.D == 1:
-            return mr, ml
-        perm_r = [(i, (i + 1) % self.D) for i in range(self.D)]
-        perm_l = [(i, (i - 1) % self.D) for i in range(self.D)]
-        gml = jax.lax.ppermute(mr, "dd", perm_r)
-        gmr = jax.lax.ppermute(ml, "dd", perm_l)
-        return gml, gmr
+    def _staged_ext(self, arr_owned, comm, correct_axis_pos=False):
+        """Extend a per-atom array with all ghost stages:
+        [owned | g0lo | g0hi | g1lo | g1hi | ...]. With
+        ``correct_axis_pos`` the stage-s axis coordinate gets the periodic
+        seam correction (positions only)."""
+        ext = arr_owned
+        dtype = arr_owned.dtype
+        for s in range(self.n_stages):
+            from_lo, from_hi = self._exchange_stage(
+                s, ext, comm["send_lo"][s], comm["mlo"][s],
+                comm["send_hi"][s], comm["mhi"][s],
+            )
+            if correct_axis_pos and self.dims[s] > 1:
+                d = jax.lax.axis_index(self.axis_names[s])
+                Lv = jnp.asarray(self.L[s], dtype)
+                a = self.axes[s]
+                corr_lo = jnp.where(d == 0, -Lv, 0.0)
+                corr_hi = jnp.where(d == self.dims[s] - 1, Lv, 0.0)
+                from_lo = from_lo.at[:, a].add(
+                    corr_lo * comm["gmlo"][s].astype(dtype)
+                )
+                from_hi = from_hi.at[:, a].add(
+                    corr_hi * comm["gmhi"][s].astype(dtype)
+                )
+            ext = jnp.concatenate([ext, from_lo, from_hi], axis=0)
+        return ext
 
-    def _to_local_frame(self, pos, origin):
-        ax = self.axis
-        out = pos.at[:, ax].add(-(origin - self.rc))
+    def _to_local_frame(self, pos):
+        out = pos
+        for s, a in enumerate(self.axes):
+            if self.dims[s] > 1:
+                d = jax.lax.axis_index(self.axis_names[s])
+                origin = d.astype(pos.dtype) * jnp.asarray(
+                    self.w[s], pos.dtype
+                )
+                out = out.at[:, a].add(-(origin - self.rc))
         return out
 
-    def _rebuild_local(self, comm, pos, vel, spc, mass, amask):
-        """Migration + send lists + local NL. Runs inside shard_map."""
+    # ------------------------------------------------------------------
+    def _migrate_axis(self, s, pos, vel, spc, mass, amask):
+        """One axis pass of migration; returns updated arrays + overflow."""
         dtype = pos.dtype
-        ax = self.axis
         NL = pos.shape[0]
-        Lv = jnp.asarray(self.L, dtype)
-        wv = jnp.asarray(self.w, dtype)
-        d = jax.lax.axis_index("dd")
-
-        # ---- wrap + ownership ----
-        inv = jnp.asarray(np.linalg.inv(self.cell), dtype)
-        frac = pos @ inv
-        frac = frac - jnp.floor(frac)
-        pos = frac @ jnp.asarray(self.cell, dtype)
-        coord = pos[:, ax]
-        owner = jnp.minimum(
-            (coord / wv).astype(jnp.int32), self.D - 1
-        )
-        rel = owner - d  # would-be migration offset
+        a = self.axes[s]
+        Dv = self.dims[s]
+        wv = jnp.asarray(self.w[s], dtype)
+        d = jax.lax.axis_index(self.axis_names[s])
+        coord = pos[:, a]
+        own = jnp.minimum((coord / wv).astype(jnp.int32), Dv - 1)
+        rel = own - d
         stay = (rel == 0) & amask
-        go_l = ((rel == -1) | (rel == self.D - 1)) & amask
-        go_r = ((rel == 1) | (rel == -(self.D - 1))) & amask
-        too_far = amask & ~(stay | go_l | go_r)
+        if Dv == 2:
+            # lo and hi neighbors are the SAME device: rel=+-1 would match
+            # both direction masks and duplicate the atom — send once
+            go_lo = (rel != 0) & amask
+            go_hi = jnp.zeros_like(go_lo)
+        else:
+            go_lo = ((rel == -1) | (rel == Dv - 1)) & amask
+            go_hi = ((rel == 1) | (rel == -(Dv - 1))) & amask
+        too_far = amask & ~(stay | go_lo | go_hi)
         Mcap = self.migrate_cap
 
-        idx_l, vm_l, ofl_l = _pack(go_l, Mcap)
-        idx_r, vm_r, ofl_r = _pack(go_r, Mcap)
+        idx_l, vm_l, ofl_l = _pack(go_lo, Mcap)
+        idx_r, vm_r, ofl_r = _pack(go_hi, Mcap)
 
-        # bundle migrant payloads
         def bundle(idx, vm):
             return (
                 pos[idx] * vm[:, None].astype(dtype),
@@ -324,21 +429,21 @@ class DistributedMDEngine:
                 vm,
             )
 
-        pay_l = bundle(idx_l, vm_l)
-        pay_r = bundle(idx_r, vm_r)
-        if self.D == 1:
-            arr_l, arr_r = pay_r, pay_l
+        pay_lo = bundle(idx_l, vm_l)
+        pay_hi = bundle(idx_r, vm_r)
+        if Dv == 1:
+            arr_lo, arr_hi = pay_hi, pay_lo
         else:
-            perm_r = [(i, (i + 1) % self.D) for i in range(self.D)]
-            perm_l = [(i, (i - 1) % self.D) for i in range(self.D)]
-            arr_l = jax.tree.map(
-                lambda a: jax.lax.ppermute(a, "dd", perm_r), pay_r
+            name = self.axis_names[s]
+            arr_lo = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, name, self._perm(s, up=True)),
+                pay_hi,
             )
-            arr_r = jax.tree.map(
-                lambda a: jax.lax.ppermute(a, "dd", perm_l), pay_l
+            arr_hi = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, name, self._perm(s, up=False)),
+                pay_lo,
             )
 
-        # ---- compact stayers, append arrivals ----
         order = jnp.argsort(~stay)
         n_stay = jnp.sum(stay)
         keep = jnp.arange(NL) < n_stay
@@ -346,20 +451,20 @@ class DistributedMDEngine:
         def compact(arr, fill=0.0):
             out = arr[order]
             shape = keep.shape + (1,) * (arr.ndim - 1)
-            k = keep.reshape(shape)
-            return jnp.where(k, out, jnp.asarray(fill, arr.dtype))
+            return jnp.where(
+                keep.reshape(shape), out, jnp.asarray(fill, arr.dtype)
+            )
 
         new_pos = compact(pos)
         new_vel = compact(vel)
         new_spc = compact(spc).astype(jnp.int32)
         new_mass = compact(mass, 1.0)
-        new_mask = keep
 
-        # scatter arrivals into free slots [n_stay ...]
-        n_arr_l = jnp.sum(arr_l[4])
-        start_l = n_stay
-        start_r = n_stay + n_arr_l
-        ofl_cap = (n_stay + n_arr_l + jnp.sum(arr_r[4])) > NL
+        n_arr_lo = jnp.sum(arr_lo[4])
+        start_lo = n_stay
+        start_hi = n_stay + n_arr_lo
+        n_total = n_stay + n_arr_lo + jnp.sum(arr_hi[4])
+        ofl_cap = n_total > NL
 
         def place(base, payload, vm, start):
             idxp, vmp, _ = _pack(vm, Mcap)
@@ -373,11 +478,9 @@ class DistributedMDEngine:
                           base[slot])
             )
 
-        for i, (base, fill) in enumerate(
-            [(new_pos, 0.0), (new_vel, 0.0), (new_spc, 0), (new_mass, 1.0)]
-        ):
-            placed_l = place(base, arr_l[i], arr_l[4], start_l)
-            placed = place(placed_l, arr_r[i], arr_r[4], start_r)
+        for i, base in enumerate([new_pos, new_vel, new_spc, new_mass]):
+            placed = place(base, arr_lo[i], arr_lo[4], start_lo)
+            placed = place(placed, arr_hi[i], arr_hi[4], start_hi)
             if i == 0:
                 new_pos = placed
             elif i == 1:
@@ -386,25 +489,82 @@ class DistributedMDEngine:
                 new_spc = placed.astype(jnp.int32)
             else:
                 new_mass = placed
-        arrivals = jnp.arange(NL)
-        new_mask = arrivals < (n_stay + n_arr_l + jnp.sum(arr_r[4]))
-        new_mask = new_mask & (arrivals < NL)
+        new_mask = jnp.arange(NL) < jnp.minimum(n_total, NL)
+        ofl = jnp.any(too_far) | ofl_l | ofl_r | ofl_cap
+        return new_pos, new_vel, new_spc, new_mass, new_mask, ofl
 
-        # ---- send lists (halo bands) ----
-        origin = d.astype(dtype) * wv
-        c = new_pos[:, ax]
-        band_l = new_mask & (c < origin + self.rc)
-        band_r = new_mask & (c >= origin + wv - self.rc)
-        Scap = self.send_cap
-        send_l, ml, ofl_sl = _pack(band_l, Scap)
-        send_r, mr, ofl_sr = _pack(band_r, Scap)
-        gml, gmr = self._ghost_masks(ml, mr)
+    def _rebuild_local(self, sl):
+        """Migration (axis by axis) + send lists (staged) + local NL."""
+        pos, vel = sl["positions"], sl["velocities"]
+        spc, mass = sl["species"], sl["masses"]
+        amask = sl["atom_mask"]
+        dtype = pos.dtype
+        NL = pos.shape[0]
+
+        # ---- wrap ----
+        inv = jnp.asarray(np.linalg.inv(self.cell), dtype)
+        frac = pos @ inv
+        frac = frac - jnp.floor(frac)
+        pos = frac @ jnp.asarray(self.cell, dtype)
+
+        # ---- migration: one pass per decomposed axis (diagonal moves
+        # complete across the sequential passes) ----
+        ofl = jnp.asarray(False)
+        for s in range(self.n_stages):
+            pos, vel, spc, mass, amask, o = self._migrate_axis(
+                s, pos, vel, spc, mass, amask
+            )
+            ofl = ofl | o
+
+        # ---- staged send lists ----
+        send_lo: List = []
+        mlo: List = []
+        send_hi: List = []
+        mhi: List = []
+        gmlo: List = []
+        gmhi: List = []
+        ext_mask = amask
+        # positions of the extended-so-far set (with seam corrections),
+        # built incrementally so stage-s bands see earlier ghosts
+        ext_pos = pos
+        for s in range(self.n_stages):
+            a = self.axes[s]
+            d = jax.lax.axis_index(self.axis_names[s])
+            wv = jnp.asarray(self.w[s], dtype)
+            origin = d.astype(dtype) * wv
+            c = ext_pos[:, a]
+            cap = self.ghost_caps[s]
+            if self.dims[s] > 1:
+                band_lo = ext_mask & (c < origin + self.rc)
+                band_hi = ext_mask & (c >= origin + wv - self.rc)
+            else:
+                band_lo = jnp.zeros_like(ext_mask)
+                band_hi = jnp.zeros_like(ext_mask)
+            slo, vlo, o1 = _pack(band_lo, cap)
+            shi, vhi, o2 = _pack(band_hi, cap)
+            ofl = ofl | o1 | o2
+            gl, gh = self._ghost_masks_stage(s, vlo, vhi)
+            send_lo.append(slo)
+            mlo.append(vlo)
+            send_hi.append(shi)
+            mhi.append(vhi)
+            gmlo.append(gl)
+            gmhi.append(gh)
+            # extend positions for the next stage's band selection
+            from_lo, from_hi = self._exchange_stage(
+                s, ext_pos, slo, vlo, shi, vhi
+            )
+            if self.dims[s] > 1:
+                Lv = jnp.asarray(self.L[s], dtype)
+                corr_lo = jnp.where(d == 0, -Lv, 0.0)
+                corr_hi = jnp.where(d == self.dims[s] - 1, Lv, 0.0)
+                from_lo = from_lo.at[:, a].add(corr_lo * gl.astype(dtype))
+                from_hi = from_hi.at[:, a].add(corr_hi * gh.astype(dtype))
+            ext_pos = jnp.concatenate([ext_pos, from_lo, from_hi], axis=0)
+            ext_mask = jnp.concatenate([ext_mask, gl, gh], axis=0)
 
         # ---- local NL over the extended set ----
-        gpos = self._ghost_positions(new_pos, send_l, ml, send_r, mr, gml, gmr)
-        ext_pos = jnp.concatenate([new_pos, gpos], axis=0)
-        ext_mask = jnp.concatenate([new_mask, gml, gmr], axis=0)
-        loc = self._to_local_frame(ext_pos, origin)
+        loc = self._to_local_frame(ext_pos)
         src, dst, shift, emask, ofl_nl, _ = rebuild_neighbors(
             self.cl_spec, loc, jnp.asarray(self.fake_cell, dtype), ext_mask
         )
@@ -413,27 +573,51 @@ class DistributedMDEngine:
         src = src.reshape(Next, K)[:NL]
         shift = shift.reshape(Next, K, 3)[:NL]
         emask = emask.reshape(Next, K)[:NL]
-        # any neighbor-of-owned edge with an axis wrap means the gap failed
-        ofl_gap = jnp.any(
-            (jnp.abs(shift[..., ax]) > 0.5) & emask
-        )
+        # any owned edge wrapping a decomposed axis means the gap failed
+        ofl_gap = jnp.asarray(False)
+        for s, a in enumerate(self.axes):
+            if self.dims[s] > 1:
+                ofl_gap = ofl_gap | jnp.any(
+                    (jnp.abs(shift[..., a]) > 0.5) & emask
+                )
 
-        overflow = (
-            jnp.any(too_far) | ofl_l | ofl_r | ofl_cap | ofl_sl | ofl_sr
-            | ofl_nl | ofl_gap
+        sl = dict(sl)
+        sl.update(
+            positions=pos, velocities=vel, species=spc, masses=mass,
+            atom_mask=amask,
+            send_lo=tuple(send_lo), mlo=tuple(mlo),
+            send_hi=tuple(send_hi), mhi=tuple(mhi),
+            edge_src=src, edge_shift=shift, edge_mask=emask,
+            nl_positions=pos,
         )
-        return (
-            new_pos, new_vel, new_spc, new_mass, new_mask,
-            send_l, ml, send_r, mr, src, shift, emask, overflow,
-        )
+        return sl, ofl | ofl_nl | ofl_gap
 
     # ------------------------------------------------------------------
     @property
     def send_cap(self):
-        return self.ghost_cap
+        return self.ghost_caps[0]
+
+    def _comm_from_state(self, sl):
+        """Per-device comm dict (ghost masks + ghost species are static per
+        rebuild)."""
+        gmlo, gmhi = [], []
+        for s in range(self.n_stages):
+            gl, gh = self._ghost_masks_stage(s, sl["mlo"][s], sl["mhi"][s])
+            gmlo.append(gl)
+            gmhi.append(gh)
+        return {
+            "atom_mask": sl["atom_mask"],
+            "species": sl["species"],
+            "send_lo": sl["send_lo"], "mlo": sl["mlo"],
+            "send_hi": sl["send_hi"], "mhi": sl["mhi"],
+            "gmlo": tuple(gmlo), "gmhi": tuple(gmhi),
+            "edge_src": sl["edge_src"],
+            "edge_shift": sl["edge_shift"],
+            "edge_mask": sl["edge_mask"],
+        }
 
     def _local_energy(self, params, comm, pos, eps):
-        """Per-device atomic energy with per-layer feature halos."""
+        """Per-device atomic energy with per-layer staged feature halos."""
         spec = self.spec
         dtype = pos.dtype
         NL = pos.shape[0]
@@ -444,12 +628,7 @@ class DistributedMDEngine:
         dst = jnp.repeat(jnp.arange(NL, dtype=jnp.int32), K)
         shift = comm["edge_shift"].reshape(-1, 3)
 
-        gml, gmr = comm["gml"], comm["gmr"]
-        gpos = self._ghost_positions(
-            pos, comm["send_l"], comm["ml"], comm["send_r"], comm["mr"],
-            gml, gmr,
-        )
-        ext_pos = jnp.concatenate([pos, gpos], axis=0)
+        ext_pos = self._staged_ext(pos, comm, correct_axis_pos=True)
         cell = jnp.asarray(self.cell, dtype)
         ev = ext_pos[src] - pos[dst] + shift @ cell
         ev = ev + ev @ eps
@@ -464,11 +643,6 @@ class DistributedMDEngine:
         sh = spherical_harmonics(spec.lmax_edge, ev, normalize=spec.normalize_sph)
 
         onehot = jax.nn.one_hot(comm["species"], spec.num_species, dtype=dtype)
-        ghost_spc = comm["ghost_species"]
-        onehot_ext = jax.nn.one_hot(
-            jnp.concatenate([comm["species"], ghost_spc]), spec.num_species,
-            dtype=dtype,
-        )
 
         x = linear_apply(
             spec.embed_linear, params["onehot_to_feature_x"], onehot
@@ -487,10 +661,7 @@ class DistributedMDEngine:
             else:
                 sc = None
             x1 = linear_apply(layer.si1, params[f"{t}_self_interaction_1"], x)
-            gl, gr = self._exchange(
-                x1, comm["send_l"], comm["ml"], comm["send_r"], comm["mr"]
-            )
-            x_ext = jnp.concatenate([x1, gl, gr], axis=0)
+            x_ext = self._staged_ext(x1, comm)
             w = scalar_mlp_apply(
                 layer.radial_mlp, params[f"{t}_convolution"]["weight_nn"],
                 edge_emb,
@@ -522,36 +693,48 @@ class DistributedMDEngine:
             scale_v = rs["scale"][0]
         return (e_scaled * scale_v + shift_v) * amask
 
-    def _comm_from_state(self, s_local):
-        """Per-device comm dict from the (already sliced) local state."""
-        gml, gmr = self._ghost_masks(
-            s_local["send_left_mask"], s_local["send_right_mask"]
-        )
-        # ghost species travel with the (static-per-rebuild) send lists
-        gsl, gsr = self._exchange(
-            s_local["species"][:, None],
-            s_local["send_left"], s_local["send_left_mask"],
-            s_local["send_right"], s_local["send_right_mask"],
-        )
-        ghost_spc = jnp.concatenate([gsl[:, 0], gsr[:, 0]]).astype(jnp.int32)
-        return {
-            "atom_mask": s_local["atom_mask"],
-            "species": s_local["species"],
-            "ghost_species": ghost_spc,
-            "send_l": s_local["send_left"],
-            "ml": s_local["send_left_mask"],
-            "send_r": s_local["send_right"],
-            "mr": s_local["send_right_mask"],
-            "gml": gml,
-            "gmr": gmr,
-            "edge_src": s_local["edge_src"],
-            "edge_shift": s_local["edge_shift"],
-            "edge_mask": s_local["edge_mask"],
-        }
-
     # ------------------------------------------------------------------
     # jitted drivers
     # ------------------------------------------------------------------
+    def _state_fields(self):
+        return [
+            "positions", "velocities", "forces", "species", "masses",
+            "atom_mask", "send_lo", "mlo", "send_hi", "mhi",
+            "edge_src", "edge_shift", "edge_mask", "nl_positions",
+        ]
+
+    def _split(self, state: DistMDState):
+        return {
+            "positions": state.positions,
+            "velocities": state.velocities,
+            "forces": state.forces,
+            "species": state.species,
+            "masses": state.masses,
+            "atom_mask": state.atom_mask,
+            "send_lo": state.send_lo,
+            "mlo": state.send_lo_mask,
+            "send_hi": state.send_hi,
+            "mhi": state.send_hi_mask,
+            "edge_src": state.edge_src,
+            "edge_shift": state.edge_shift,
+            "edge_mask": state.edge_mask,
+            "nl_positions": state.nl_positions,
+        }
+
+    def _merge(self, state: DistMDState, stack) -> DistMDState:
+        return state.replace(
+            positions=stack["positions"], velocities=stack["velocities"],
+            forces=stack["forces"], species=stack["species"],
+            masses=stack["masses"], atom_mask=stack["atom_mask"],
+            send_lo=stack["send_lo"], send_lo_mask=stack["mlo"],
+            send_hi=stack["send_hi"], send_hi_mask=stack["mhi"],
+            edge_src=stack["edge_src"], edge_shift=stack["edge_shift"],
+            edge_mask=stack["edge_mask"], nl_positions=stack["nl_positions"],
+        )
+
+    def _psum_all(self, x):
+        return jax.lax.psum(x, self.axis_names)
+
     def _jit(self, kind, n_steps=0, dt=0.0, integrator="nve", **kw):
         key = (kind, n_steps, dt, integrator, tuple(sorted(kw.items())))
         if key in self._run_cache:
@@ -559,29 +742,18 @@ class DistributedMDEngine:
 
         from jax import shard_map
 
-        state_fields = [
-            "positions", "velocities", "forces", "species", "masses",
-            "atom_mask", "send_left", "send_left_mask", "send_right",
-            "send_right_mask", "edge_src", "edge_shift", "edge_mask",
-            "nl_positions",
-        ]
-
-        def split(state):
-            return {f: getattr(state, f) for f in state_fields}
-
-        def local_of(stack):
-            return jax.tree.map(lambda a: a[0], stack)
+        mesh_spec = P(*self.axis_names)
 
         def energy_forces(params, sl):
             comm = self._comm_from_state(sl)
 
-            # Differentiate the LOCAL energy sum only: every device runs the
-            # same reverse pass, and the ppermute transposes route each
+            # Differentiate the LOCAL energy sum only: every device runs
+            # the same reverse pass, and the ppermute transposes route each
             # device's ghost cotangents back to their owners — collectively
-            # that is d(sum_d E_d)/d pos_local, the reference's reverse_comm
-            # (pair_e3gnn_parallel.cpp:404-441). Do NOT psum before grad:
-            # with check_vma=False the psum transpose would multiply the
-            # (replicated) cotangent by D.
+            # that is d(sum_d E_d)/d pos_local, the reference's
+            # reverse_comm (pair_e3gnn_parallel.cpp:404-441). Do NOT psum
+            # before grad: with check_vma=False the psum transpose would
+            # multiply the (replicated) cotangent by D.
             def etot(p):
                 with jax.default_matmul_precision(self.precision):
                     e = self._local_energy(
@@ -590,44 +762,28 @@ class DistributedMDEngine:
                 return jnp.sum(e)
 
             e_loc, g = jax.value_and_grad(etot)(sl["positions"])
-            e = jax.lax.psum(e_loc, "dd")
+            e = self._psum_all(e_loc)
             forces = -g * sl["atom_mask"][:, None].astype(g.dtype)
             return e, forces
 
         def rebuild(sl):
-            (pos, vel, spc, mass, amask, send_l, ml, send_r, mr, src,
-             shift, emask, ofl) = self._rebuild_local(
-                None, sl["positions"], sl["velocities"], sl["species"],
-                sl["masses"], sl["atom_mask"],
-            )
-            sl = dict(sl)
-            sl.update(
-                positions=pos, velocities=vel, species=spc, masses=mass,
-                atom_mask=amask, send_left=send_l, send_left_mask=ml,
-                send_right=send_r, send_right_mask=mr, edge_src=src,
-                edge_shift=shift, edge_mask=emask, nl_positions=pos,
-            )
-            return sl, ofl
+            return self._rebuild_local(sl)
 
         def one_step(params, sl, ofl_acc):
-            # skin trigger (global decision)
             disp = sl["positions"] - sl["nl_positions"]
             local_need = jnp.any(
                 jnp.sum(disp * disp, -1)
                 * sl["atom_mask"] > (self.skin / 2.0) ** 2
             )
-            need = jax.lax.psum(local_need.astype(jnp.int32), "dd") > 0
-
-            def do_rb(sl):
-                sl2, ofl = rebuild(sl)
-                return sl2, ofl
+            need = self._psum_all(local_need.astype(jnp.int32)) > 0
 
             sl, ofl = jax.lax.cond(
-                need, do_rb, lambda s: (dict(s), jnp.asarray(False)), sl
+                need, rebuild, lambda s: (dict(s), jnp.asarray(False)), sl
             )
-            ofl_acc = ofl_acc | jax.lax.psum(ofl.astype(jnp.int32), "dd") > 0
+            ofl_acc = ofl_acc | (
+                self._psum_all(ofl.astype(jnp.int32)) > 0
+            )
 
-            # velocity Verlet
             acc = (
                 sl["forces"] / sl["masses"][:, None] * EV_A_AMU_TO_A_FS2
                 * sl["atom_mask"][:, None]
@@ -649,8 +805,22 @@ class DistributedMDEngine:
                 sl["masses"][:, None] * sl["velocities"] ** 2
                 * sl["atom_mask"][:, None]
             ) / EV_A_AMU_TO_A_FS2
-            ke = jax.lax.psum(ke_loc, "dd")
+            ke = self._psum_all(ke_loc)
             return sl, e, ke, ofl_acc
+
+        lead = (1,) * self.n_stages
+
+        def local_of(stack):
+            # inside shard_map each block has n_stages leading size-1 dims
+            return jax.tree.map(
+                lambda a: a.reshape(a.shape[self.n_stages:]), stack
+            )
+
+        def stackify(sl):
+            return jax.tree.map(lambda a: a.reshape(lead + a.shape), sl)
+
+        def scalarify(x):
+            return x.reshape(lead + x.shape)
 
         if kind == "init":
             def body(params, stack):
@@ -658,54 +828,70 @@ class DistributedMDEngine:
                 sl, ofl = rebuild(sl)
                 e, forces = energy_forces(params, sl)
                 sl["forces"] = forces
-                out = jax.tree.map(lambda a: a[None], sl)
-                return out, e[None], ofl[None]
+                return stackify(sl), scalarify(e), scalarify(ofl)
 
             sm = shard_map(
                 body, mesh=self.mesh,
-                in_specs=(P(), P("dd")),
-                out_specs=(P("dd"), P("dd"), P("dd")),
+                in_specs=(P(), mesh_spec),
+                out_specs=(mesh_spec, mesh_spec, mesh_spec),
                 check_vma=False,
             )
 
             def run(params, state):
-                stack, e, ofl = sm(params, split(state))
-                return state.replace(
-                    potential_energy=e[0],
+                stack_in = jax.tree.map(
+                    lambda a: a.reshape(self.dims + a.shape[1:]),
+                    self._split(state),
+                )
+                stack, e, ofl = sm(params, stack_in)
+                stack = jax.tree.map(
+                    lambda a: a.reshape((self.D,) + a.shape[self.n_stages:]),
+                    stack,
+                )
+                return self._merge(state, stack).replace(
+                    potential_energy=e.reshape(-1)[0],
                     nl_overflow=state.nl_overflow | ofl.any(),
-                    **{f: stack[f] for f in state_fields},
                 )
 
             fn = jax.jit(run)
         elif kind == "run":
             def body(params, stack):
                 sl = local_of(stack)
+
                 def scan_body(carry, _):
                     sl, ofl = carry
                     sl, e, ke, ofl = one_step(params, sl, ofl)
                     return (sl, ofl), (e, ke)
 
                 (sl, ofl), (pe, ke) = jax.lax.scan(
-                    scan_body, (sl, jnp.asarray(False)), None, length=n_steps
+                    scan_body, (sl, jnp.asarray(False)), None,
+                    length=n_steps,
                 )
-                out = jax.tree.map(lambda a: a[None], sl)
-                return out, pe[None], ke[None], ofl[None]
+                return stackify(sl), scalarify(pe), scalarify(ke), scalarify(ofl)
 
             sm = shard_map(
                 body, mesh=self.mesh,
-                in_specs=(P(), P("dd")),
-                out_specs=(P("dd"), P("dd"), P("dd"), P("dd")),
+                in_specs=(P(), mesh_spec),
+                out_specs=(mesh_spec, mesh_spec, mesh_spec, mesh_spec),
                 check_vma=False,
             )
 
             def run(params, state):
-                stack, pe, ke, ofl = sm(params, split(state))
+                stack_in = jax.tree.map(
+                    lambda a: a.reshape(self.dims + a.shape[1:]),
+                    self._split(state),
+                )
+                stack, pe, ke, ofl = sm(params, stack_in)
+                stack = jax.tree.map(
+                    lambda a: a.reshape((self.D,) + a.shape[self.n_stages:]),
+                    stack,
+                )
+                pe = pe.reshape(self.D, -1)
+                ke = ke.reshape(self.D, -1)
                 return (
-                    state.replace(
+                    self._merge(state, stack).replace(
                         potential_energy=pe[0, -1],
                         step=state.step + n_steps,
                         nl_overflow=state.nl_overflow | ofl.any(),
-                        **{f: stack[f] for f in state_fields},
                     ),
                     (pe[0], ke[0]),
                 )

@@ -108,11 +108,15 @@ def test_partition_rejects_thin_slabs(system, spec_params):
         partition_system(pos, species, cell, spec.cutoff, 8)  # 2 A slabs < cutoff
 
 
-def test_distributed_md_matches_serial():
-    """Domain-decomposed NVE over 4 virtual devices == single-device MD
-    over >= 50 steps (energies + sorted positions), with migration and
-    in-scan rebuilds exercised (reference parallel algorithm,
-    pair_e3gnn_parallel.cpp:194-506)."""
+@pytest.mark.parametrize("mesh_shape,names", [
+    ((4,), ("dd",)),          # 1-D slabs
+    ((2, 2, 2), ("dx", "dy", "dz")),  # 3-D bricks, staged CommBrick swaps
+])
+def test_distributed_md_matches_serial(mesh_shape, names):
+    """Domain-decomposed NVE over a virtual mesh == single-device MD over
+    >= 50 steps (energies + sorted positions), with migration and in-scan
+    rebuilds exercised (reference parallel algorithm,
+    pair_e3gnn_parallel.cpp:194-506 + comm_brick.cpp staged swaps)."""
     import jax
     import numpy as np
     from jax.sharding import Mesh
@@ -156,10 +160,11 @@ def test_distributed_md_matches_serial():
     st_s = st_s.replace(velocities=jnp.asarray(vel, jnp.float32))
     st_s, (pe_s, ke_s) = eng_s.run(st_s, 50, dt=1.0, chunk=25)
 
-    # distributed over 4 slabs
-    devs = np.array(jax.devices()[:4])
-    mesh = Mesh(devs, ("dd",))
-    eng_d = DistributedMDEngine(spec, params, cell, mesh, skin=0.5, axis=0)
+    # distributed over the mesh
+    nd = int(np.prod(mesh_shape))
+    devs = np.array(jax.devices()[:nd]).reshape(mesh_shape)
+    mesh = Mesh(devs, names)
+    eng_d = DistributedMDEngine(spec, params, cell, mesh, skin=0.5)
     st_d = eng_d.make_state(pos, Z, velocities=vel)
     st_d, (pe_d, ke_d) = eng_d.run(st_d, 50, dt=1.0, chunk=25)
 
