@@ -121,9 +121,20 @@ def _instr_tables(conv: ConvTPSpec):
 
 
 def fused_conv_block_atoms(K: int, target_t: int = 1536) -> int:
-    """Atoms per block A (multiple of 8, A*K near target_t)."""
+    """Atoms per block A for the FORWARD kernel (multiple of 8, A*K near
+    target_t). Measured on v5e at 3k/K'=88: target 1536 gives 102.1
+    ms/step end-to-end; 3072 (A=32 fwd, A=16 bwd) measured 108.7 despite
+    a faster isolated forward — the larger block loses more in the
+    backward than it gains. Kept at 1536."""
     assert K % 8 == 0, "dense neighbor capacity K must be a multiple of 8"
     return max(8, int(round(target_t / K / 8)) * 8)
+
+
+def fused_conv_bwd_block_atoms(A_fwd: int) -> int:
+    """Backward block size: a multiple of 8 that DIVIDES the forward block
+    (the backward kernel holds ~2x the VMEM state, so larger forward
+    blocks pair with a halved backward block)."""
+    return A_fwd // 2 if A_fwd % 16 == 0 and A_fwd > 16 else A_fwd
 
 
 def to_k_major(arr_nk, A: int):
@@ -560,9 +571,12 @@ _KERNEL_CACHE: Dict = {}
 def _get_kernels(conv, mlp_spec, A, K, param_grads):
     key = (conv, mlp_spec, A, K, param_grads)
     if key not in _KERNEL_CACHE:
+        A_b = fused_conv_bwd_block_atoms(A)
         _KERNEL_CACHE[key] = (
             make_fused_conv_fwd(conv, mlp_spec, A, K),
-            make_fused_conv_bwd(conv, mlp_spec, A, K, param_grads=param_grads),
+            make_fused_conv_bwd(conv, mlp_spec, A_b, K,
+                                param_grads=param_grads),
+            A_b,
         )
     return _KERNEL_CACHE[key]
 
@@ -571,7 +585,7 @@ def _get_kernels(conv, mlp_spec, A, K, param_grads):
 def _fused_conv(conv, mlp_spec, A, param_grads, mlp_ws, x, emb_nk, sh_nk,
                 src_nk, mir_nk):
     K = src_nk.shape[1]
-    fwd, _ = _get_kernels(conv, mlp_spec, A, K, param_grads)
+    fwd, _, _ = _get_kernels(conv, mlp_spec, A, K, param_grads)
     xg = x[to_k_major(src_nk, A)]
     out = fwd(
         xg,
@@ -592,13 +606,13 @@ def _fused_conv_fwd_rule(conv, mlp_spec, A, param_grads, mlp_ws, x, emb_nk,
 def _fused_conv_bwd_rule(conv, mlp_spec, A, param_grads, res, ybar):
     mlp_ws, x, emb_nk, sh_nk, src_nk, mir_nk = res
     N, K = src_nk.shape
-    _, bwd = _get_kernels(conv, mlp_spec, A, K, param_grads)
-    src_km = to_k_major(src_nk, A)
+    _, bwd, A_b = _get_kernels(conv, mlp_spec, A, K, param_grads)
+    src_km = to_k_major(src_nk, A_b)
     xg = x[src_km]
     outs = bwd(
         xg,
-        to_k_major(emb_nk, A),
-        to_k_major(sh_nk, A),
+        to_k_major(emb_nk, A_b),
+        to_k_major(sh_nk, A_b),
         ybar,
         tuple(mlp_ws),
     )
@@ -612,11 +626,11 @@ def _fused_conv_bwd_rule(conv, mlp_spec, A, param_grads, res, ybar):
     # k-major order; the contribution TARGETS the sender. Mirror gather:
     # dx[n] = sum_k dxg[mirror of (n, k)] — the mirror of (n,k) is the edge
     # where n is the sender.
-    dxg_nk = from_k_major(dxg_km, N, K, A)  # (N, K, dim_x)
+    dxg_nk = from_k_major(dxg_km, N, K, A_b)  # (N, K, dim_x)
     flat = dxg_nk.reshape(N * K, -1)
     dx = jnp.sum(flat[mir_nk.reshape(-1)].reshape(N, K, -1), axis=1)
-    demb = from_k_major(demb_km, N, K, A)
-    dsh = from_k_major(dsh_km, N, K, A)
+    demb = from_k_major(demb_km, N, K, A_b)
+    dsh = from_k_major(dsh_km, N, K, A_b)
     return (
         dmlp,
         dx.astype(x.dtype),
@@ -644,7 +658,7 @@ def _fused_conv_chunked(conv, mlp_spec, A, param_grads, RC, mlp_ws, x,
                         emb_nk, sh_nk, src_nk):
     K = src_nk.shape[1]
     N = x.shape[0]
-    fwd, _ = _get_kernels(conv, mlp_spec, A, K, param_grads)
+    fwd, _, _ = _get_kernels(conv, mlp_spec, A, K, param_grads)
 
     def chunk(carry, sl):
         emb_c, sh_c, src_c = sl
@@ -674,13 +688,13 @@ def _fused_conv_chunked_bwd(conv, mlp_spec, A, param_grads, RC, res, ybar):
     mlp_ws, x, emb_nk, sh_nk, src_nk = res
     N, K = src_nk.shape
     dim_x = conv.irreps_x.dim
-    _, bwd = _get_kernels(conv, mlp_spec, A, K, param_grads)
+    _, bwd, A_b = _get_kernels(conv, mlp_spec, A, K, param_grads)
     nb = N // RC
 
     def chunk(carry, sl):
         dx, dmlp = carry
         emb_c, sh_c, src_c, yb_c = sl
-        src_km = to_k_major(src_c, A)
+        src_km = to_k_major(src_c, A_b)
         xg = x[src_km]
         outs = bwd(xg, to_k_major(emb_c, A), to_k_major(sh_c, A), yb_c,
                    tuple(mlp_ws))
@@ -691,7 +705,8 @@ def _fused_conv_chunked_bwd(conv, mlp_spec, A, param_grads, RC, res, ybar):
             dxg_km, demb_km, dsh_km = outs
         dx = dx.at[src_km].add(dxg_km)
         return (dx, dmlp), (
-            from_k_major(demb_km, RC, K, A), from_k_major(dsh_km, RC, K, A)
+            from_k_major(demb_km, RC, K, A_b),
+            from_k_major(dsh_km, RC, K, A_b),
         )
 
     sl = tuple(
