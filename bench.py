@@ -121,6 +121,24 @@ def main():
 
     steps_per_s = N_STEPS / elapsed
     ns_day = steps_per_s * DT_FS * 1e-6 * 86400
+
+    # accuracy guard: the timed path (fused kernels on TPU) must match the
+    # plain XLA dense path on the same configuration (skipped at large N
+    # where the reference compile is minutes)
+    force_check = None
+    if engine.fused and len(Z) <= 5000 and not int(os.environ.get("BENCH_NO_CHECK", 0)):
+        # compare the timed path against the fp32-exact XLA path: the
+        # reported maxdiff is the total precision cost of the speed
+        # settings (in-kernel dots are always HIGHEST; the surrounding
+        # linears/gates run at BENCH_PRECISION)
+        print("# force check vs fp32 XLA path...", file=sys.stderr, flush=True)
+        ref = MDEngine(spec, params, cell, fused=False,
+                       matmul_precision="highest")
+        sref = ref.make_state(pos, Z)
+        sfus = engine.make_state(pos, Z)
+        fr = np.asarray(sref.forces)[: len(Z)]
+        ff = np.asarray(sfus.forces)[: len(Z)]
+        force_check = float(np.abs(fr - ff).max())
     print(
         json.dumps(
             {
@@ -137,8 +155,9 @@ def main():
                     # script at other sizes (BENCH_ATOMS env): fused Pallas
                     # conv path, fp32-accurate numerics
                     "prior_runs_ms_per_step": {
-                        "3000": 102.1, "9999": 247.1, "99999": 5082.1
+                        "3000": 86.1, "9999": 247.1, "99999": 5082.1
                     },
+                    "force_maxdiff_vs_fp32": force_check,
                 },
             }
         )
