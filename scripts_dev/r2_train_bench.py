@@ -57,7 +57,7 @@ else:
     print(f"flat layout E={len(dst)}", flush=True)
 
 trainer = Trainer(spec, params, TrainerConfig())
-batch = jax.tree.map(lambda a: np.asarray(a)[None], gb)  # 1-microbatch stack
+batch = gb  # single-device: trainer takes the graph directly
 
 t0 = time.time()
 losses, _ = trainer.train_step(batch)
