@@ -41,6 +41,24 @@ def neighbor_list_numpy(
     if cell is None or not pbc.any():
         return _nopbc(positions, cutoff)
 
+    # fast path: C++ cell list (~100x at 100k atoms); falls back to the
+    # numpy/scipy reference below for tiny boxes (height < cutoff) or
+    # when no compiler is available
+    if n >= 256:
+        from ..native import native_neighbor_list
+
+        out = native_neighbor_list(positions, cutoff, cell, pbc)
+        if out is not None:
+            # nl.cpp emits edges receiver-by-receiver: dst already sorted.
+            # Small results are copied out of the library-owned buffers
+            # (cheap, and removes any lifetime hazard for callers that
+            # might hold them); big ones stay zero-copy — see
+            # native_neighbor_list's docstring for the contract.
+            dst, src, S = out
+            if len(dst) < 65536:
+                return dst.copy(), src.copy(), S.copy()
+            return out
+
     cell = np.asarray(cell, dtype=np.float64).reshape(3, 3)
     if abs(np.linalg.det(cell)) < 1e-12:
         raise ValueError("periodic system with singular cell")
@@ -69,12 +87,18 @@ def neighbor_list_numpy(
     images = (
         pos_w[None, :, :] + (shift_table @ cell)[:, None, :]
     ).reshape(-1, 3)
-    # keep only images within a cutoff-shell of the primary cell (fractional
-    # box grown by cutoff/height per axis) — shrinks the image tree ~5-10x
+    # keep only images within a cutoff-shell of the occupied region
+    # (fractional box grown by cutoff/height per axis) — shrinks the image
+    # tree ~5-10x. Non-periodic axes span the actual coordinate range:
+    # positions may lie outside [0,1) there (regression: senders at
+    # frac<0 were filtered out entirely and their edges lost)
     frac_img = images @ inv
-    eps = np.where(pbc, cutoff / heights, 0.0) + 1e-9
+    frac_w = pos_w @ inv
+    lo = np.where(pbc, 0.0, frac_w.min(axis=0))
+    hi = np.where(pbc, 1.0, frac_w.max(axis=0))
+    eps = cutoff / heights + 1e-9
     in_shell = np.flatnonzero(
-        ((frac_img >= -eps) & (frac_img <= 1.0 + eps)).all(axis=1)
+        ((frac_img >= lo - eps) & (frac_img <= hi + eps)).all(axis=1)
     )
     images = images[in_shell]
 

@@ -77,3 +77,60 @@ def test_displacement_consistency():
     D = pos[src] + S @ cell - pos[dst]
     r = np.linalg.norm(D, axis=1)
     assert (r < cutoff).all() and (r > 1e-8).all()
+
+
+def test_native_cell_list_matches_scipy():
+    """The C++ cell-list NL (native/nl.cpp) agrees edge-for-edge with the
+    scipy KD-tree reference on periodic, triclinic, mixed-PBC and
+    molecular systems (the native path is the production fast path:
+    0.6 s vs 331 s at 100k atoms)."""
+    import numpy as np
+    import pytest
+
+    import sevennet_tpu.native as nat
+    from sevennet_tpu.data.neighborlist import neighbor_list_numpy
+
+    if not nat.native_available():
+        pytest.skip("no C++ toolchain")
+
+    def canon(dst, src, S):
+        arr = np.concatenate(
+            [np.asarray(dst)[:, None], np.asarray(src)[:, None],
+             np.rint(np.asarray(S)).astype(int)], axis=1,
+        )
+        return set(map(tuple, arr))
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (300, np.eye(3) * 12.0, (True, True, True), 0, 12),
+        (300, np.array([[10, 0, 0], [3, 9, 0], [1, 2, 11.0]]),
+         (True, True, True), 0, 10),
+        (280, np.eye(3) * 14.0, (True, True, False), -2, 16),
+        (280, np.eye(3) * 30.0, (False, False, False), -3, 20),
+    ]
+    for n, cell, pbc, lo, hi in cases:
+        pos = rng.uniform(lo, hi, (n, 3))
+        out = nat.native_neighbor_list(pos, 3.5, cell, pbc)
+        assert out is not None
+        c_native = canon(*(np.array(a) for a in out))
+        old = nat.native_neighbor_list
+        nat.native_neighbor_list = lambda *a, **k: None
+        try:
+            ref = neighbor_list_numpy(pos, 3.5, cell, pbc)
+        finally:
+            nat.native_neighbor_list = old
+        assert c_native == canon(*ref), (pbc, cell.tolist())
+
+
+def test_nonperiodic_axis_outside_box_edges_found():
+    """Regression: senders with coordinates outside [0, L) along a
+    NON-periodic axis were dropped from the scipy path's image shell and
+    their edges silently lost."""
+    import numpy as np
+
+    from sevennet_tpu.data.neighborlist import neighbor_list_numpy
+
+    pos = np.array([[1.0, 1.0, -1.5], [1.0, 1.0, 0.5]])  # z outside box
+    cell = np.eye(3) * 10.0
+    dst, src, S = neighbor_list_numpy(pos, 3.0, cell, (True, True, False))
+    assert len(dst) == 2  # both directions of the single pair
