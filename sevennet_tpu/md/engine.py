@@ -79,8 +79,6 @@ class MDEngine:
         "damp_bj", "cutoff": 12.0}``. The pair cutoff is bounded by the box
         (``d3.bounded_cutoff``); a second skin-shared neighbor list is
         rebuilt along the model's."""
-        import jax as _jax
-
         self.spec = spec
         self.params = params
         self.cell = np.asarray(cell, dtype=np.float64)
@@ -89,7 +87,7 @@ class MDEngine:
         self.cl_spec = cl_spec
         self.dense = dense
         if fused is None:
-            fused = _jax.default_backend() == "tpu"
+            fused = jax.default_backend() == "tpu"
         self.fused = bool(fused) and dense
         self._fused_param_grads = bool(param_grads_in_fused)
         self.k_model: Optional[int] = None  # truncated conv slot width

@@ -59,9 +59,11 @@ __all__ = [
     "make_fused_conv_bwd",
     "fused_conv_apply",
     "fused_conv_block_atoms",
+    "fused_conv_bwd_block_atoms",
     "to_k_major",
     "from_k_major",
     "mirror_map",
+    "mirror_map_numpy",
 ]
 
 _DOT = dict(

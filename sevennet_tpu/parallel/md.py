@@ -593,10 +593,6 @@ class DistributedMDEngine:
         return sl, ofl | ofl_nl | ofl_gap
 
     # ------------------------------------------------------------------
-    @property
-    def send_cap(self):
-        return self.ghost_caps[0]
-
     def _comm_from_state(self, sl):
         """Per-device comm dict (ghost masks + ghost species are static per
         rebuild)."""
