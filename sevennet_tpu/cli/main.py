@@ -7,6 +7,8 @@
   preset       print a preset input.yaml
   checkpoint   inspect a checkpoint / regenerate input yaml
   get_model    export a deployable (native) checkpoint from any source
+  md           run molecular dynamics from a yaml input (the role LAMMPS
+               input scripts play for the reference's pair styles)
 """
 
 from __future__ import annotations
@@ -380,7 +382,20 @@ def main(argv=None):
     pm.add_argument("source")
     pm.add_argument("--out", default="deployed_model")
 
+    pd = sub.add_parser("md", help="run molecular dynamics from a yaml input")
+    pd.add_argument("input", help="md yaml (see sevennet_tpu/scripts/md_run.py)")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "md":
+        import yaml
+
+        from ..scripts.md_run import run_md_from_config
+
+        with open(args.input) as f:
+            cfg = yaml.safe_load(f)
+        run_md_from_config(cfg)
+        return 0
 
     if args.cmd == "preset":
         print(PRESETS[args.name])

@@ -20,7 +20,7 @@ import numpy as np
 from ..atoms import AtomsLite
 from ..model.build import ATOMIC_NUMBERS
 
-__all__ = ["read_outcar", "read_structure_list"]
+__all__ = ["read_outcar", "read_poscar", "read_structure_list"]
 
 _FLOAT_RE = re.compile(r"[-+]?\d+\.\d+(?:[eE][-+]?\d+)?")
 
@@ -155,3 +155,42 @@ def read_structure_list(path: str, base_dir: Optional[str] = None) -> Dict[str, 
                 frames = read_outcar(fpath, idx)
             out.setdefault(label, []).extend(frames)
     return out
+
+
+def read_poscar(path: str) -> AtomsLite:
+    """VASP POSCAR/CONTCAR (vasp5: symbol line before counts)."""
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    scale = float(lines[1].split()[0])
+    cell = np.array(
+        [[float(x) for x in lines[2 + i].split()[:3]] for i in range(3)]
+    )
+    if scale < 0:  # negative scale = target volume
+        vol = abs(np.linalg.det(cell))
+        scale = (-scale / vol) ** (1.0 / 3.0)
+    cell = cell * scale
+    toks = lines[5].split()
+    if toks and toks[0].isdigit():  # vasp4: counts directly, symbols unknown
+        raise ValueError(
+            "vasp4 POSCAR without a symbol line is not supported - add the "
+            "element symbols line (vasp5 format)"
+        )
+    symbols = toks
+    counts = [int(x) for x in lines[6].split()[: len(symbols)]]
+    i = 7
+    if lines[i].strip() and lines[i].strip()[0] in "Ss":  # Selective dynamics
+        i += 1
+    cartesian = lines[i].strip() and lines[i].strip()[0] in "CcKk"
+    i += 1
+    n = sum(counts)
+    coords = np.array(
+        [[float(x) for x in lines[i + j].split()[:3]] for j in range(n)]
+    )
+    pos = coords * scale if cartesian else coords @ cell
+    numbers = np.concatenate(
+        [np.full(c, ATOMIC_NUMBERS[sym], np.int64)
+         for sym, c in zip(symbols, counts)]
+    )
+    return AtomsLite(
+        positions=pos, numbers=numbers, cell=cell, pbc=True
+    )

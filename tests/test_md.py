@@ -248,3 +248,54 @@ def test_trajectory_dump_roundtrip(tmp_path):
     np.testing.assert_allclose(
         frames[-1].positions, np.asarray(state.positions)[:27], atol=1e-4
     )
+
+
+def test_md_cli_runner(tmp_path):
+    """sevennet-tpu md: yaml-driven MD (the LAMMPS-input-script analogue)
+    end to end — thermo CSV + extxyz trajectory readable by our reader."""
+    import numpy as np
+
+    from sevennet_tpu.scripts.md_run import run_md_from_config
+
+    struct = tmp_path / "start.extxyz"
+    struct.write_text(
+        "8\n"
+        'Lattice="6.0 0.0 0.0 0.0 6.0 0.0 0.0 0.0 6.0" '
+        'Properties=species:S:1:pos:R:3 pbc="T T T"\n'
+        "Hf 0.5 0.5 0.5\nO 2.1 0.6 0.4\nHf 3.5 0.5 3.4\nO 0.4 3.6 0.6\n"
+        "Hf 0.6 3.4 3.6\nO 3.4 3.6 0.5\nHf 3.6 0.4 0.6\nO 2.4 2.5 2.6\n"
+    )
+    cfg = {"md": {
+        "checkpoint": "/root/reference/tests/data/checkpoints/cp_0.pth",
+        "structure": str(struct),
+        "ensemble": "nve",
+        "steps": 10, "dt": 0.2, "temperature": 200.0, "chunk": 5,
+        "trajectory": str(tmp_path / "traj.extxyz"), "traj_every": 5,
+        "log": str(tmp_path / "thermo.csv"),
+        "fused": False,
+    }}
+    out = run_md_from_config(cfg, log=lambda *a: None)
+    assert len(out["thermo"]) == 2
+    assert np.isfinite(out["thermo"][-1]["pe"])
+    assert (tmp_path / "thermo.csv").read_text().startswith("step,")
+    from sevennet_tpu.data.extxyz import read_extxyz
+
+    frames = read_extxyz(str(tmp_path / "traj.extxyz"))
+    assert len(frames) >= 2 and len(frames[0]) == 8
+
+
+def test_read_poscar(tmp_path):
+    from sevennet_tpu.data.vasp import read_poscar
+
+    p = tmp_path / "POSCAR"
+    p.write_text(
+        "HfO2 test\n1.0\n5.1 0.0 0.0\n0.0 5.1 0.0\n0.0 0.0 5.1\n"
+        "Hf O\n2 2\nDirect\n"
+        "0.0 0.0 0.0\n0.5 0.5 0.0\n0.25 0.25 0.25\n0.75 0.75 0.25\n"
+    )
+    at = read_poscar(str(p))
+    assert len(at) == 4
+    assert list(at.numbers) == [72, 72, 8, 8]
+    import numpy as np
+
+    np.testing.assert_allclose(at.positions[1], [2.55, 2.55, 0.0])
