@@ -79,6 +79,8 @@ class DistMDState:
     edge_shift: jnp.ndarray  # (D, NL, K, 3) wraps along non-decomposed axes
     edge_mask: jnp.ndarray   # (D, NL, K) bool
     nl_positions: jnp.ndarray  # (D, NL, 3)
+    rng: jnp.ndarray         # (D, 2) uint32 per-device PRNG keys
+    thermo: jnp.ndarray      # (D, 2, 3) Nose-Hoover chain (replicated)
     step: jnp.ndarray        # () int32
     nl_overflow: jnp.ndarray  # () bool (global)
     potential_energy: jnp.ndarray  # () global
@@ -97,6 +99,48 @@ def _pack(mask, cap, fill_idx=0):
     valid = jnp.arange(cap) < jnp.sum(mask)
     overflow = jnp.sum(mask) > cap
     return jnp.where(valid, idx, fill_idx).astype(jnp.int32), valid, overflow
+
+
+
+
+def _nhc_half_global(v, thermo, dt, temperature, tau, ndof, global_ke):
+    """Half-step Nose-Hoover chain (M=3) on GLOBAL kinetic energy: the
+    distributed counterpart of ``md/integrators._nhc_half`` — inputs are
+    psum'd so the replicated chain state stays identical on every device."""
+    kT = KB_EV * temperature
+    ke2 = 2.0 * global_ke(v)
+    xi, vxi = thermo[0], thermo[1]
+    q1 = ndof * kT * tau * tau
+    qj = kT * tau * tau
+    Q = jnp.stack([q1, qj, qj])
+
+    dt2, dt4, dt8 = dt / 2.0, dt / 4.0, dt / 8.0
+    G2 = (Q[1] * vxi[1] ** 2 - kT) / Q[2]
+    vxi = vxi.at[2].add(G2 * dt4)
+    for j in (1, 0):
+        vxi = vxi.at[j].multiply(jnp.exp(-dt8 * vxi[j + 1]))
+        G = (
+            (ke2 - ndof * kT) / Q[0]
+            if j == 0
+            else (Q[j - 1] * vxi[j - 1] ** 2 - kT) / Q[j]
+        )
+        vxi = vxi.at[j].add(G * dt4)
+        vxi = vxi.at[j].multiply(jnp.exp(-dt8 * vxi[j + 1]))
+    scale = jnp.exp(-dt2 * vxi[0])
+    ke2 = ke2 * scale * scale
+    xi = xi + dt2 * vxi
+    for j in (0, 1):
+        vxi = vxi.at[j].multiply(jnp.exp(-dt8 * vxi[j + 1]))
+        G = (
+            (ke2 - ndof * kT) / Q[0]
+            if j == 0
+            else (Q[j - 1] * vxi[j - 1] ** 2 - kT) / Q[j]
+        )
+        vxi = vxi.at[j].add(G * dt4)
+        vxi = vxi.at[j].multiply(jnp.exp(-dt8 * vxi[j + 1]))
+    G2 = (Q[1] * vxi[1] ** 2 - kT) / Q[2]
+    vxi = vxi.at[2].add(G2 * dt4)
+    return v * scale, jnp.stack([xi, vxi])
 
 
 class DistributedMDEngine:
@@ -315,6 +359,10 @@ class DistributedMDEngine:
             edge_shift=jnp.zeros((D, A, K, 3), jnp.float32),
             edge_mask=jnp.zeros((D, A, K), bool),
             nl_positions=jnp.asarray(P_),
+            rng=jax.vmap(
+                lambda d: jax.random.fold_in(jax.random.PRNGKey(seed), d)
+            )(jnp.arange(D, dtype=jnp.uint32)),
+            thermo=jnp.zeros((D, 2, 3), jnp.float32),
             step=jnp.asarray(0, jnp.int32),
             nl_overflow=jnp.asarray(False),
             potential_energy=jnp.asarray(0.0, jnp.float32),
@@ -697,6 +745,7 @@ class DistributedMDEngine:
             "positions", "velocities", "forces", "species", "masses",
             "atom_mask", "send_lo", "mlo", "send_hi", "mhi",
             "edge_src", "edge_shift", "edge_mask", "nl_positions",
+            "rng", "thermo",
         ]
 
     def _split(self, state: DistMDState):
@@ -715,6 +764,8 @@ class DistributedMDEngine:
             "edge_shift": state.edge_shift,
             "edge_mask": state.edge_mask,
             "nl_positions": state.nl_positions,
+            "rng": state.rng,
+            "thermo": state.thermo,
         }
 
     def _merge(self, state: DistMDState, stack) -> DistMDState:
@@ -726,6 +777,7 @@ class DistributedMDEngine:
             send_hi=stack["send_hi"], send_hi_mask=stack["mhi"],
             edge_src=stack["edge_src"], edge_shift=stack["edge_shift"],
             edge_mask=stack["edge_mask"], nl_positions=stack["nl_positions"],
+            rng=stack["rng"], thermo=stack["thermo"],
         )
 
     def _psum_all(self, x):
@@ -780,28 +832,71 @@ class DistributedMDEngine:
                 self._psum_all(ofl.astype(jnp.int32)) > 0
             )
 
-            acc = (
-                sl["forces"] / sl["masses"][:, None] * EV_A_AMU_TO_A_FS2
-                * sl["atom_mask"][:, None]
-            )
-            v_half = sl["velocities"] + 0.5 * dt * acc
-            sl["positions"] = (
-                sl["positions"] + dt * v_half * sl["atom_mask"][:, None]
-            )
-            e, forces = energy_forces(params, sl)
-            acc2 = (
-                forces / sl["masses"][:, None] * EV_A_AMU_TO_A_FS2
-                * sl["atom_mask"][:, None]
-            )
-            sl["velocities"] = (
-                v_half + 0.5 * dt * acc2
-            ) * sl["atom_mask"][:, None]
-            sl["forces"] = forces
-            ke_loc = 0.5 * jnp.sum(
-                sl["masses"][:, None] * sl["velocities"] ** 2
-                * sl["atom_mask"][:, None]
-            ) / EV_A_AMU_TO_A_FS2
-            ke = self._psum_all(ke_loc)
+            mask = sl["atom_mask"][:, None]
+
+            def accel(f):
+                return f / sl["masses"][:, None] * EV_A_AMU_TO_A_FS2 * mask
+
+            def local_ke(v):
+                return 0.5 * jnp.sum(
+                    sl["masses"][:, None] * v ** 2 * mask
+                ) / EV_A_AMU_TO_A_FS2
+
+            def global_ke(v):
+                return self._psum_all(local_ke(v))
+
+            ndof = 3.0 * jnp.maximum(
+                self._psum_all(jnp.sum(sl["atom_mask"])), 1
+            ).astype(sl["positions"].dtype)
+
+            if integrator in ("nose_hoover", "nvt"):
+                # Nose-Hoover chain with GLOBAL kinetic energy: the chain
+                # state is replicated (identical psum'd inputs on every
+                # device), mirroring the serial md/integrators.py chain
+                temperature = kw["temperature"]
+                tau = kw.get("tau", 50.0)
+                sl["velocities"], sl["thermo"] = _nhc_half_global(
+                    sl["velocities"], sl["thermo"], dt, temperature, tau,
+                    ndof, global_ke,
+                )
+
+            if integrator == "langevin":
+                # BAOAB with per-device noise streams
+                temperature = kw["temperature"]
+                friction = kw.get("friction", 0.01)
+                v = sl["velocities"] + 0.5 * dt * accel(sl["forces"])
+                x = sl["positions"] + 0.5 * dt * v * mask
+                rng, key = jax.random.split(sl["rng"])
+                c1 = jnp.exp(-friction * dt)
+                sigma = jnp.sqrt(
+                    (1.0 - c1 ** 2) * KB_EV * temperature / sl["masses"]
+                ) * jnp.sqrt(EV_A_AMU_TO_A_FS2)
+                noise = jax.random.normal(key, v.shape, dtype=v.dtype)
+                v = c1 * v + sigma[:, None] * noise
+                sl["positions"] = x + 0.5 * dt * v * mask
+                sl["rng"] = rng
+                e, forces = energy_forces(params, sl)
+                sl["velocities"] = (
+                    v + 0.5 * dt * accel(forces)
+                ) * mask
+                sl["forces"] = forces
+            else:
+                # velocity Verlet core (nve / the NVT wrap above)
+                v_half = sl["velocities"] + 0.5 * dt * accel(sl["forces"])
+                sl["positions"] = sl["positions"] + dt * v_half * mask
+                e, forces = energy_forces(params, sl)
+                sl["velocities"] = (
+                    v_half + 0.5 * dt * accel(forces)
+                ) * mask
+                sl["forces"] = forces
+
+            if integrator in ("nose_hoover", "nvt"):
+                sl["velocities"], sl["thermo"] = _nhc_half_global(
+                    sl["velocities"], sl["thermo"], dt, kw["temperature"],
+                    kw.get("tau", 50.0), ndof, global_ke,
+                )
+
+            ke = global_ke(sl["velocities"])
             return sl, e, ke, ofl_acc
 
         lead = (1,) * self.n_stages
@@ -899,13 +994,19 @@ class DistributedMDEngine:
         return fn
 
     def run(self, state: DistMDState, n_steps: int, dt: float = 1.0,
-            chunk: int = 10):
-        """NVE for now; thermostats follow the serial engine's pattern."""
+            chunk: int = 10, integrator: str = "nve", **kw):
+        """Distributed MD: ``integrator`` in nve | langevin |
+        nose_hoover/nvt (pass ``temperature``, optional ``friction`` /
+        ``tau``); the Nose-Hoover chain thermostats the GLOBAL kinetic
+        energy, Langevin uses independent per-device noise streams."""
         pes, kes = [], []
         for length in [chunk] * (n_steps // chunk) + (
             [n_steps % chunk] if n_steps % chunk else []
         ):
-            fn = self._jit("run", n_steps=length, dt=float(dt))
+            fn = self._jit(
+                "run", n_steps=length, dt=float(dt),
+                integrator=integrator, **kw,
+            )
             state, (pe, ke) = fn(self.params, state)
             pes.append(pe)
             kes.append(ke)

@@ -185,3 +185,47 @@ def test_distributed_md_matches_serial(mesh_shape, names):
     np.testing.assert_allclose(
         ps[order_s], pd[order_d], atol=5e-3
     )
+
+
+def test_distributed_thermostats_regulate():
+    """Distributed NVT: Nose-Hoover (global-KE chain) and Langevin
+    (per-device noise) heat a cold system toward the target over a 2x2
+    brick mesh."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from sevennet_tpu.io import load_sevennet_checkpoint
+    from sevennet_tpu.md.state import KB_EV
+    from sevennet_tpu.parallel.md import DistributedMDEngine
+
+    spec, params = load_sevennet_checkpoint(
+        "/root/reference/tests/data/checkpoints/cp_0.pth"
+    )
+    rng = np.random.default_rng(11)
+    L = 19.2
+    cell = np.eye(3) * L
+    pts, Zs = [], []
+    for i in range(8):
+        for j in range(4):
+            for k in range(4):
+                pts.append(np.array([i * L / 8, j * L / 4, k * L / 4]) + 0.6)
+                Zs.append(72 if (i + j + k) % 3 == 0 else 8)
+    pos = np.asarray(pts) + rng.normal(scale=0.08, size=(len(pts), 3))
+    Z = np.asarray(Zs)
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("dx", "dy"))
+    ndof = 3 * len(pos)
+
+    for integ, kw in [
+        ("nose_hoover", dict(temperature=500.0, tau=25.0)),
+        ("langevin", dict(temperature=500.0, friction=0.05)),
+    ]:
+        eng = DistributedMDEngine(spec, params, cell, mesh, skin=0.5)
+        st = eng.make_state(pos, Z, temperature=100.0, seed=3)
+        st, (pe, ke) = eng.run(st, 80, dt=1.0, chunk=40,
+                               integrator=integ, **kw)
+        T = 2 * np.asarray(ke) / (ndof * KB_EV)
+        assert T[-1] > 250.0, (integ, T[-1])  # heated well past 100 K
+        assert np.isfinite(np.asarray(pe)).all()
+        assert int(np.asarray(st.atom_mask).sum()) == len(pos)
