@@ -73,7 +73,13 @@ class SevenNetTPUCalculator:
         self.compute_stress = compute_stress
         self._precision = matmul_precision
         if fused is None:
-            fused = jax.default_backend() == "tpu"
+            import os
+
+            env = os.environ.get("SEVENNET_TPU_FUSED")
+            if env is not None:
+                fused = bool(int(env))
+            else:
+                fused = jax.default_backend() == "tpu"
         self.fused = bool(fused)
         self._jitted = {}
         self.results: Dict[str, Any] = {}

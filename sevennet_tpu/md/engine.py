@@ -87,7 +87,15 @@ class MDEngine:
         self.cl_spec = cl_spec
         self.dense = dense
         if fused is None:
-            fused = jax.default_backend() == "tpu"
+            # env override mirrors the reference's accelerator toggles
+            # (SEVENNET_ENABLE_CUEQ and friends, sevenn/calculator.py:88-90)
+            import os
+
+            env = os.environ.get("SEVENNET_TPU_FUSED")
+            if env is not None:
+                fused = bool(int(env))
+            else:
+                fused = jax.default_backend() == "tpu"
         self.fused = bool(fused) and dense
         self._fused_param_grads = bool(param_grads_in_fused)
         self.k_model: Optional[int] = None  # truncated conv slot width
