@@ -151,3 +151,34 @@ def test_legacy_name_and_config_patches():
     # modern configs pass through untouched
     cfg2 = patch_old_config({"version": "0.11.0", "conv_denominator": 35.0})
     assert cfg2["conv_denominator"] == 35.0
+
+
+def test_load_model_native_dir(tmp_path, small_spec_params):
+    """CLI get_model (.pth -> native dir) round-trips through
+    registry.load_model with identical parameters."""
+    import jax
+    import numpy as np
+
+    from sevennet_tpu.cli.main import main
+    from sevennet_tpu.io.registry import load_model
+
+    out = str(tmp_path / "deployed")
+    assert main(["get_model", REFERENCE_CP, "--out", out]) == 0
+    spec, params = small_spec_params
+    spec2, params2 = load_model(out)
+    assert spec2.cutoff == spec.cutoff
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_profiling_step_timer():
+    import jax.numpy as jnp
+
+    from sevennet_tpu.profiling import step_timer
+
+    with step_timer() as t:
+        x = jnp.ones(8) * 2
+        t.lap(x)
+        t.lap()
+    assert len(t.laps) == 2 and t.mean >= 0.0
