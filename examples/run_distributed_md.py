@@ -13,6 +13,15 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# some environments preset JAX_PLATFORMS via sitecustomize; re-assert the
+# user's choice so the virtual CPU device count takes effect
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass
+
 import numpy as np
 from jax.sharding import Mesh
 
@@ -29,8 +38,11 @@ params = model_init(jax.random.PRNGKey(0), spec)
 
 rng = np.random.default_rng(0)
 box = 24.0
-n = 384
-pos = rng.uniform(0, box, (n, 3))
+side = 8                       # jittered cubic lattice (a random gas
+n = side ** 3                  # clusters and blows the toy capacities)
+grid = (np.stack(np.meshgrid(*[np.arange(side)] * 3,
+                             indexing="ij"), -1).reshape(-1, 3) + 0.5)
+pos = grid * (box / side) + rng.normal(scale=0.15, size=(n, 3))
 Z = np.where(np.arange(n) % 3 == 0, 8, 1)
 cell = np.eye(3) * box
 
@@ -46,7 +58,7 @@ else:
 engine = DistributedMDEngine(spec, params, cell, mesh, skin=0.5)
 state = engine.make_state(pos, Z, temperature=300.0)
 print(f"mesh {mesh.devices.shape}: initial PE {float(state.potential_energy):+.4f} eV")
-state, (pe, ke) = engine.run(state, 50, dt=0.5, chunk=25)
+state, (pe, ke) = engine.run(state, 50, dt=0.2, chunk=25)
 tot = np.asarray(pe) + np.asarray(ke)
 print(f"after 50 NVE steps: PE {float(pe[-1]):+.4f} eV, "
       f"energy drift {abs(tot[-1]-tot[0]):.2e} eV, "

@@ -123,7 +123,7 @@ def run_md_from_config(cfg: Dict, log=print) -> Dict:
             f"ms/step): PE {rows[-1]['pe']:+.4f} eV, "
             f"T {rows[-1]['temperature']:.1f} K"
         )
-    if log_path:
+    if log_path and rows:
         import csv
 
         with open(log_path, "w", newline="") as f:
