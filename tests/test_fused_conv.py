@@ -154,11 +154,13 @@ def test_fused_chunked_matches_unchunked(param_grads):
 
     (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
                                       has_aux=True)(mlp_p, x, emb, sh, 0)
-    (l2, o2), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
-                                      has_aux=True)(mlp_p, x, emb, sh, 16)
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
-                               atol=1e-5, rtol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(g1),
-                    jax.tree_util.tree_leaves(g2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-5, rtol=1e-4)
+    # 16 divides N=32; 24 does not (exercises the row padding)
+    for rc in (16, 24):
+        (l2, o2), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                          has_aux=True)(mlp_p, x, emb, sh, rc)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=1e-5, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=1e-4)
