@@ -105,6 +105,13 @@ def main():
     import sys
 
     chunk = int(os.environ.get("BENCH_CHUNK", 20))
+    global N_STEPS
+    if N_STEPS % chunk:
+        # a partial tail chunk would compile a SECOND scan inside the
+        # timed loop and corrupt the measurement
+        N_STEPS = max(chunk, (N_STEPS // chunk) * chunk)
+        print(f"# rounded steps to {N_STEPS} (multiple of chunk {chunk})",
+              file=sys.stderr, flush=True)
     print(f"# building state ({len(Z)} atoms)...", file=sys.stderr, flush=True)
     state = engine.make_state(pos, Z, temperature=300.0)
     print("# state ready; compiling+warmup...", file=sys.stderr, flush=True)
