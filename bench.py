@@ -91,9 +91,10 @@ def main():
             # memory policy: the fused-conv custom_vjp (default on TPU)
             # already recomputes its interior, so remat only helps the XLA
             # fallback path; edge_chunk streams the fused conv in row
-            # chunks only above the 4 GB gather threshold (100k-scale)
+            # chunks (edge_chunk/K atoms each) only above the 3 GB gather
+            # threshold (20k+ atoms) — sized for ~2k-atom chunks
             "_edge_chunk": int(
-                os.environ.get("BENCH_EDGE_CHUNK", 16384 if N_ATOMS > 4000 else 0)
+                os.environ.get("BENCH_EDGE_CHUNK", 163840 if N_ATOMS > 4000 else 0)
             ),
             "_remat": bool(int(os.environ.get("BENCH_REMAT", 0))),
         }
@@ -162,7 +163,8 @@ def main():
                     # script at other sizes (BENCH_ATOMS env): fused Pallas
                     # conv path, fp32-accurate numerics
                     "prior_runs_ms_per_step": {
-                        "3000": 86.1, "9999": 247.1, "99999": 5082.1
+                        "3000": 84.5, "9999": 246.4, "20001": 491.6,
+                        "99999": 5082.1
                     },
                     "force_maxdiff_vs_fp32": force_check,
                 },
