@@ -913,7 +913,61 @@ class DistributedMDEngine:
         def scalarify(x):
             return x.reshape(lead + x.shape)
 
-        if kind == "init":
+        if kind == "stress":
+            def body(params, stack):
+                sl = local_of(stack)
+                comm = self._comm_from_state(sl)
+
+                def etot(p, eps):
+                    with jax.default_matmul_precision(self.precision):
+                        e = self._local_energy(params, comm, p, eps)
+                    return jnp.sum(e)
+
+                eps0 = jnp.zeros((3, 3), sl["positions"].dtype)
+                e_loc, (gp, geps) = jax.value_and_grad(
+                    etot, argnums=(0, 1)
+                )(sl["positions"], eps0)
+                # eps enters AFTER the halo exchange (edge vectors are
+                # local), so its gradient is purely local — psum sums the
+                # per-device virials
+                e = self._psum_all(e_loc)
+                geps = self._psum_all(geps)
+                forces = -gp * sl["atom_mask"][:, None].astype(gp.dtype)
+                vol = jnp.abs(jnp.linalg.det(
+                    jnp.asarray(self.cell, gp.dtype)
+                ))
+                stress = -jnp.stack([
+                    geps[0, 0], geps[1, 1], geps[2, 2],
+                    geps[0, 1], geps[1, 2], geps[2, 0],
+                ]) / vol
+                return scalarify(e), scalarify(stress), stackify(
+                    {"forces": forces}
+                )
+
+            sm = shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(), mesh_spec),
+                out_specs=(mesh_spec, mesh_spec, mesh_spec),
+                check_vma=False,
+            )
+
+            def run(params, state):
+                stack_in = jax.tree.map(
+                    lambda a: a.reshape(self.dims + a.shape[1:]),
+                    self._split(state),
+                )
+                e, stress, fstack = sm(params, stack_in)
+                forces = fstack["forces"].reshape(
+                    (self.D,) + fstack["forces"].shape[self.n_stages:]
+                )
+                return (
+                    e.reshape(-1)[0],
+                    stress.reshape(-1, 6)[0],
+                    forces,
+                )
+
+            fn = jax.jit(run)
+        elif kind == "init":
             def body(params, stack):
                 sl = local_of(stack)
                 sl, ofl = rebuild(sl)
@@ -1015,6 +1069,15 @@ class DistributedMDEngine:
                 "distributed MD overflow: grow local/ghost/migrate capacities"
             )
         return state, (jnp.concatenate(pes), jnp.concatenate(kes))
+
+    def compute_stress(self, state: DistMDState):
+        """Single-point global (energy, voigt stress, per-device forces):
+        strain-probe virial with psum'd per-device contributions (the
+        edge-local formulation keeps it exact under decomposition, like
+        the reference's per-edge virial, force_output.py:197-228)."""
+        fn = self._jit("stress")
+        e, stress, forces = fn(self.params, state)
+        return e, stress, forces
 
     # convenience: gather owned atoms back to host (order not preserved)
     def gather_positions(self, state: DistMDState):

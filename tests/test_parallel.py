@@ -229,3 +229,42 @@ def test_distributed_thermostats_regulate():
         assert T[-1] > 250.0, (integ, T[-1])  # heated well past 100 K
         assert np.isfinite(np.asarray(pe)).all()
         assert int(np.asarray(st.atom_mask).sum()) == len(pos)
+
+
+def test_distributed_stress_matches_serial():
+    """Strain-probe stress over a 2x2x2 brick mesh == the serial engine's
+    (edge-local virial stays exact under decomposition,
+    reference force_output.py:197-228)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from sevennet_tpu.io import load_sevennet_checkpoint
+    from sevennet_tpu.md import MDEngine
+    from sevennet_tpu.parallel.md import DistributedMDEngine
+
+    spec, params = load_sevennet_checkpoint(
+        "/root/reference/tests/data/checkpoints/cp_0.pth"
+    )
+    rng = np.random.default_rng(11)
+    L = 19.2
+    cell = np.eye(3) * L
+    pts, Zs = [], []
+    for i in range(8):
+        for j in range(4):
+            for k in range(4):
+                pts.append(np.array([i * L / 8, j * L / 4, k * L / 4]) + 0.6)
+                Zs.append(72 if (i + j + k) % 3 == 0 else 8)
+    pos = np.asarray(pts) + rng.normal(scale=0.08, size=(len(pts), 3))
+    Z = np.asarray(Zs)
+
+    es = MDEngine(spec, params, cell, dense=False, fused=False)
+    s_serial = np.asarray(es.make_state(pos, Z).stress)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("dx", "dy", "dz"))
+    ed = DistributedMDEngine(spec, params, cell, mesh, skin=0.5)
+    sd = ed.make_state(pos, Z)
+    e, stress, forces = ed.compute_stress(sd)
+    np.testing.assert_allclose(np.asarray(stress), s_serial, atol=1e-8)
+    assert np.isfinite(float(e))
