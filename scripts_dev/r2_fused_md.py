@@ -37,7 +37,8 @@ print(f"N={len(pos)}", flush=True)
 # correctness: single-point energy/forces fused vs XLA-dense
 e_x = MDEngine(spec, params, cell, fused=False)
 s_x = e_x.make_state(pos, Z)
-e_f = MDEngine(spec, params, cell, fused=True)
+e_f = MDEngine(spec, params, cell, fused=True,
+               sort_atoms=bool(int(os.environ.get("SORT_ATOMS", 0))))
 s_f = e_f.make_state(pos, Z)
 pe_x, pe_f = float(s_x.potential_energy), float(s_f.potential_energy)
 nreal = len(pos)

@@ -66,6 +66,7 @@ class MDEngine:
         fused: Optional[bool] = None,
         param_grads_in_fused: bool = False,
         d3: Optional[dict] = None,
+        sort_atoms: bool = False,
     ):
         """``dense=True`` keeps the cell list's (N, K) slot layout and runs
         the dense-neighbor convolution; ``fused`` additionally switches to
@@ -99,6 +100,10 @@ class MDEngine:
         self.fused = bool(fused) and dense
         self._fused_param_grads = bool(param_grads_in_fused)
         self.k_model: Optional[int] = None  # truncated conv slot width
+        # spatial sort at rebuilds: reorder atoms by cell id so neighbor
+        # gathers hit nearby HBM rows (experimental; state.atom_index
+        # tracks identity and trajectory dumps unpermute)
+        self.sort_atoms = bool(sort_atoms)
         self.d3_params = None
         self.d3_cl_spec: Optional[CellListSpec] = None
         if d3:
@@ -241,6 +246,8 @@ class MDEngine:
 
     # -- internals -----------------------------------------------------------
     def _rebuild(self, state: MDState) -> MDState:
+        if self.sort_atoms:
+            state = self._sort_state(state)
         src, dst, shift, mask, overflow, pos_w = rebuild_neighbors(
             self.cl_spec, state.positions, state.cell, state.atom_mask
         )
@@ -285,6 +292,35 @@ class MDEngine:
                 d3_edge_mask=m3,
                 nl_overflow=upd["nl_overflow"] | ofl3,
             )
+        return state.replace(**upd)
+
+    def _sort_state(self, state: MDState) -> MDState:
+        """Permute atoms into cell-id order (padded atoms to the end)."""
+        nx, ny, nz = self.cl_spec.n_cells
+        ncells = nx * ny * nz
+        inv = jnp.linalg.inv(state.cell)
+        frac = state.positions @ inv
+        frac = frac - jnp.floor(frac)
+        grid = jnp.asarray([nx, ny, nz])
+        coords = jnp.clip((frac * grid).astype(jnp.int32), 0, grid - 1)
+        cid = (coords[:, 0] * ny + coords[:, 1]) * nz + coords[:, 2]
+        cid = jnp.where(state.atom_mask, cid, ncells)
+        perm = jnp.argsort(cid, stable=True)
+        upd = dict(
+            positions=state.positions[perm],
+            velocities=state.velocities[perm],
+            forces=state.forces[perm],
+            species=state.species[perm],
+            masses=state.masses[perm],
+            atom_mask=state.atom_mask[perm],
+            nl_positions=state.nl_positions[perm],
+            atom_index=(
+                state.atom_index[perm]
+                if state.atom_index is not None else None
+            ),
+        )
+        if state.z_numbers is not None:
+            upd["z_numbers"] = state.z_numbers[perm]
         return state.replace(**upd)
 
     def _truncate_sorted(self, src, shift, mask, pos_w, cell, n):
@@ -461,13 +497,20 @@ class MDEngine:
 
         n = int(np.sum(np.asarray(state.atom_mask)))
         t2z = {int(t): int(z) for z, t in enumerate(self.spec.z_to_type) if t >= 0}
-        Z = np.array([t2z[int(t)] for t in np.asarray(state.species)[:n]])
+        pos = np.asarray(state.positions)[:n]
+        spc = np.asarray(state.species)[:n]
+        frc = np.asarray(state.forces)[:n]
+        if state.atom_index is not None:
+            # undo any spatial sorting so frames keep the input atom order
+            order = np.argsort(np.asarray(state.atom_index)[:n])
+            pos, spc, frc = pos[order], spc[order], frc[order]
+        Z = np.array([t2z[int(t)] for t in spc])
         frame = AtomsLite(
-            positions=np.asarray(state.positions)[:n],
+            positions=pos,
             numbers=Z,
             cell=np.asarray(state.cell),
             pbc=True,
             energy=float(state.potential_energy),
-            forces=np.asarray(state.forces)[:n],
+            forces=frc,
         )
         write_extxyz(path, [frame], append=append)

@@ -59,6 +59,9 @@ class MDState:
     stress: jnp.ndarray  # (6,) voigt eV/A^3 (zeros unless engine computes it)
     thermo: jnp.ndarray  # (2, 3) Nose-Hoover chain (xi, v_xi) per link
     edge_mir: Optional[jnp.ndarray] = None  # (E,) mirror map (fused conv)
+    # original input index of each slot (tracks identity under spatial
+    # sorting; trajectory dumps unpermute with it)
+    atom_index: Optional[jnp.ndarray] = None  # (N,) int32
     # optional D3 dispersion term (second, longer-ranged neighbor list)
     z_numbers: Optional[jnp.ndarray] = None  # (N,) int32 atomic numbers
     d3_edge_src: Optional[jnp.ndarray] = None  # (E3,) int32
@@ -157,6 +160,7 @@ def init_md_state(
         edge_mir=(
             jnp.zeros(n_edges_cap, jnp.int32) if with_mirror else None
         ),
+        atom_index=jnp.arange(cap, dtype=jnp.int32),
         z_numbers=(
             jnp.asarray(pad(np.asarray(atomic_numbers, np.int32)), jnp.int32)
             if d3_edges_cap and atomic_numbers is not None else None

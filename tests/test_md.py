@@ -299,3 +299,46 @@ def test_read_poscar(tmp_path):
     import numpy as np
 
     np.testing.assert_allclose(at.positions[1], [2.55, 2.55, 0.0])
+
+
+def test_sorted_atoms_matches_unsorted():
+    """MDEngine(sort_atoms=True): cell-id atom reordering at rebuilds is
+    physics-neutral; state.atom_index recovers the input order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import water_box
+    from sevennet_tpu.md import MDEngine
+    from sevennet_tpu.model import build_model_spec
+    from sevennet_tpu.model.model import model_init
+
+    pos, Z, cell = water_box(60)
+    spec = build_model_spec({
+        "cutoff": 5.0, "channel": 8, "lmax": 1, "is_parity": False,
+        "num_convolution_layer": 2, "self_connection_type": "linear",
+        "conv_denominator": 35.0, "chemical_species": ["H", "O"],
+        "_edge_chunk": 0, "_remat": False,
+    })
+    params = model_init(jax.random.PRNGKey(0), spec)
+
+    e1 = MDEngine(spec, params, cell, fused=False, sort_atoms=False)
+    s1 = e1.make_state(pos, Z, temperature=300.0, seed=2)
+    vel = np.asarray(s1.velocities)
+    s1, (pe1, _) = e1.run(s1, 30, dt=1.0, chunk=15)
+
+    e2 = MDEngine(spec, params, cell, fused=False, sort_atoms=True)
+    s2 = e2.make_state(pos, Z)
+    idx0 = np.asarray(s2.atom_index)
+    s2 = s2.replace(velocities=jnp.asarray(vel[idx0]))
+    s2, (pe2, _) = e2.run(s2, 30, dt=1.0, chunk=15)
+
+    assert np.abs(np.asarray(pe1) - np.asarray(pe2)).max() < 1e-3
+    n = len(pos)
+    p2 = np.asarray(s2.positions)[:n]
+    idx = np.asarray(s2.atom_index)[:n]
+    p2u = np.empty_like(p2)
+    p2u[idx] = p2
+    np.testing.assert_allclose(
+        np.asarray(s1.positions)[:n], p2u, atol=1e-4
+    )
