@@ -10,7 +10,9 @@ from sevennet_tpu.model.model import model_init, model_energy, model_compute
 from sevennet_tpu.md import MDEngine
 from sevennet_tpu.md.engine import _graph_from_state
 
-pos, Z, cell = water_box(1000)
+import sys as _sys
+n_mol = int(_sys.argv[1]) if len(_sys.argv) > 1 else 1000
+pos, Z, cell = water_box(n_mol)
 spec = build_model_spec({
     "cutoff": 5.0, "channel": 128, "lmax": 2, "is_parity": False,
     "num_convolution_layer": 5,
@@ -20,7 +22,8 @@ spec = build_model_spec({
     "radial_basis": {"radial_basis_name": "bessel", "bessel_basis_num": 8},
     "cutoff_function": {"cutoff_function_name": "XPLOR", "cutoff_on": 4.5},
     "self_connection_type": "linear", "conv_denominator": 35.0,
-    "chemical_species": ["H", "O"], "_edge_chunk": 0, "_remat": False,
+    "chemical_species": ["H", "O"],
+    "_edge_chunk": int(__import__("os").environ.get("SPLIT_EDGE_CHUNK", 0)), "_remat": False,
 })
 params = model_init(jax.random.PRNGKey(0), spec)
 eng = MDEngine(spec, params, cell, fused=True, matmul_precision="default")
@@ -28,7 +31,7 @@ st = eng.make_state(pos, Z)
 graph = _graph_from_state(st, st.cell)
 spec_f = eng.spec  # with dense/fused/truncation applied
 
-def time_scan(fn, n=30):
+def time_scan(fn, n=10):
     # carry positions and feed the output back so nothing hoists
     def body(p, _):
         out = fn(graph.replace(positions=p))
