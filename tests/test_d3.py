@@ -192,3 +192,20 @@ def test_d3_in_md_engine():
     tot = np.asarray(pe) + np.asarray(ke)
     assert np.isfinite(tot).all()
     assert abs(tot[-1] - tot[0]) < 5e-3
+
+
+def test_bounded_cutoff_semantics():
+    """Opt-in box bound: full cutoff for molecules/large boxes, 3 heights
+    (never below the CN cutoff) for small periodic cells."""
+    import numpy as np
+
+    from sevennet_tpu.d3 import D3Params, bounded_cutoff
+
+    p = D3Params.from_functional("pbe", "bj")
+    assert bounded_cutoff(p, None, False) == p.cutoff
+    # large box: bound inactive
+    assert bounded_cutoff(p, np.eye(3) * 100.0, (True,) * 3) == p.cutoff
+    # small box: 3 * height, floored at the CN cutoff
+    small = bounded_cutoff(p, np.eye(3) * 5.0, (True,) * 3)
+    assert abs(small - max(15.0, p.cn_cutoff)) < 1e-9
+    assert small < p.cutoff

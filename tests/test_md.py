@@ -342,3 +342,24 @@ def test_sorted_atoms_matches_unsorted():
     np.testing.assert_allclose(
         np.asarray(s1.positions)[:n], p2u, atol=1e-4
     )
+
+
+def test_md_runner_poscar_input(tmp_path):
+    """md yaml runner accepts VASP POSCAR structures."""
+    from sevennet_tpu.scripts.md_run import run_md_from_config
+
+    p = tmp_path / "POSCAR"
+    p.write_text(
+        "HfO2\n1.0\n6.0 0.0 0.0\n0.0 6.0 0.0\n0.0 0.0 6.0\n"
+        "Hf O\n4 4\nDirect\n"
+        "0.08 0.09 0.10\n0.58 0.08 0.57\n0.09 0.57 0.58\n0.59 0.60 0.08\n"
+        "0.33 0.10 0.09\n0.10 0.34 0.58\n0.61 0.33 0.33\n0.40 0.62 0.42\n"
+    )
+    out = run_md_from_config({"md": {
+        "checkpoint": "/root/reference/tests/data/checkpoints/cp_0.pth",
+        "structure": str(p), "ensemble": "langevin", "steps": 6,
+        "dt": 0.2, "temperature": 300.0, "chunk": 3, "fused": False,
+    }}, log=lambda *a: None)
+    import numpy as np
+
+    assert np.isfinite(out["thermo"][-1]["pe"])
