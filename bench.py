@@ -164,7 +164,7 @@ def main():
                     # conv path, fp32-accurate numerics
                     "prior_runs_ms_per_step": {
                         "3000": 84.5, "9999": 246.4, "20001": 491.6,
-                        "99999": 3605.1
+                        "50001": 2031.0, "99999": 3605.1
                     },
                     "force_maxdiff_vs_fp32": force_check,
                 },
