@@ -468,28 +468,127 @@ class MDEngine:
         for length in [chunk] * (n_steps // chunk) + (
             [n_steps % chunk] if n_steps % chunk else []
         ):
-            key = (integrator, dt, length, tuple(sorted(kw.items())))
-            if key not in self._run_cache:
-                step = self._step_fn(integrator, dt, **kw)
+            # auto-growth: retry the chunk from a snapshot with bigger
+            # capacities when the in-scan rebuild overflows (the dynamic
+            # analogue of LAMMPS' buffer growth, pair_e3gnn.cpp:283-288;
+            # static shapes make growth a host-driven recompile)
+            for attempt in range(4):
+                key = (integrator, dt, length, tuple(sorted(kw.items())))
+                if key not in self._run_cache:
+                    step = self._step_fn(integrator, dt, **kw)
 
-                def scan_run(state, _length=length):
-                    return jax.lax.scan(step, state, None, length=_length)
+                    def scan_run(state, _length=length):
+                        return jax.lax.scan(step, state, None, length=_length)
 
-                # donation is not supported by the axon TPU tunnel backend
-                self._run_cache[key] = jax.jit(scan_run)
-            state, (pe, ke) = self._run_cache[key](state)
+                    # donation is unsupported by the axon TPU tunnel backend
+                    self._run_cache[key] = jax.jit(scan_run)
+                prev = state
+                state, (pe, ke) = self._run_cache[key](state)
+                if not bool(state.nl_overflow):
+                    break
+                state = self._grow_capacities(prev)
+            else:
+                raise RuntimeError(
+                    "neighbor-list capacity overflow persisted after 3 "
+                    "automatic growth attempts — the system is likely "
+                    "collapsing (check the potential / timestep)"
+                )
             traj_pe.append(pe)
             traj_ke.append(ke)
             steps_done += length
             if traj_path and steps_done >= next_dump:
                 self._dump_frame(state, traj_path, append=True)
                 next_dump += traj_every
-        if bool(state.nl_overflow):
-            raise RuntimeError(
-                "neighbor-list capacity overflow during MD; rebuild the engine "
-                "with a larger CellListSpec (capacity_factor/neighbor_capacity)"
-            )
         return state, (jnp.concatenate(traj_pe), jnp.concatenate(traj_ke))
+
+    def _grow_capacities(self, state: MDState, factor: float = 1.35) -> MDState:
+        """Rebuild the engine's static capacities (cell occupancy, neighbor
+        slots, conv slot width, D3 edges) ``factor`` bigger and re-create
+        the state from the given snapshot (positions/velocities/identity
+        preserved; jitted functions recompile lazily)."""
+        import dataclasses
+
+        up8 = lambda v: -(-int(np.ceil(v)) // 8) * 8
+        K_new = up8(self.cl_spec.neighbor_capacity * factor)
+        self.cl_spec = dataclasses.replace(
+            self.cl_spec,
+            neighbor_capacity=K_new,
+            cell_capacity=int(np.ceil(self.cl_spec.cell_capacity * factor)) + 2,
+            edge_cap=(
+                -(-int(np.ceil(self.cl_spec.edge_cap * factor)) // 256) * 256
+                if self.cl_spec.edge_cap > 0 else 0
+            ),
+        )
+        if self.dense:
+            k_model = up8(self.k_model * factor) if self.fused else int(
+                np.ceil(self.k_model * factor)
+            )
+            self.k_model = min(k_model, K_new)
+            self.spec = dataclasses.replace(
+                self.spec, edge_dense_k=self.k_model
+            )
+        if self.d3_cl_spec is not None:
+            self.d3_cl_spec = dataclasses.replace(
+                self.d3_cl_spec,
+                neighbor_capacity=int(
+                    np.ceil(self.d3_cl_spec.neighbor_capacity * factor)
+                ),
+                cell_capacity=int(
+                    np.ceil(self.d3_cl_spec.cell_capacity * factor)
+                ) + 2,
+            )
+        self._run_cache.clear()
+
+        # re-create the state from the snapshot's per-atom data
+        n_real = int(np.sum(np.asarray(state.atom_mask)))
+        n_atoms_cap = n_real
+        if self.fused:
+            from ..ops.fused_conv import fused_conv_block_atoms
+
+            A = fused_conv_block_atoms(self.k_model)
+            n_atoms_cap = -(-n_real // A) * A
+        pos = np.asarray(state.positions)[:n_real]
+        vel = np.asarray(state.velocities)[:n_real]
+        species = np.asarray(state.species)[:n_real]
+        masses = np.asarray(state.masses)[:n_real]
+        new = init_md_state(
+            pos,
+            species,
+            np.asarray(state.cell),
+            masses=masses,
+            velocities=vel,
+            n_atoms_cap=n_atoms_cap,
+            n_edges_cap=(
+                n_atoms_cap * self.k_model
+                if self.dense
+                else self.cl_spec.edge_capacity(n_atoms_cap)
+            ),
+            with_mirror=self.fused,
+            d3_edges_cap=(
+                self.d3_cl_spec.edge_capacity(n_atoms_cap)
+                if self.d3_cl_spec is not None else 0
+            ),
+        )
+        # carry identity / thermostat / rng / step across the resize
+        carry = dict(
+            rng=state.rng, step=state.step, thermo=state.thermo,
+        )
+        if state.atom_index is not None and new.atom_index is not None:
+            idx = np.arange(new.n_atoms_cap, dtype=np.int32)
+            idx[:n_real] = np.asarray(state.atom_index)[:n_real]
+            carry["atom_index"] = jnp.asarray(idx)
+        if state.z_numbers is not None and new.z_numbers is not None:
+            zn = np.zeros(new.n_atoms_cap, np.int32)
+            zn[:n_real] = np.asarray(state.z_numbers)[:n_real]
+            carry["z_numbers"] = jnp.asarray(zn)
+        new = new.replace(**carry)
+        if "rebuild" in self._run_cache:
+            del self._run_cache["rebuild"]
+        new = jax.jit(self._rebuild)(new)
+        forces, energy, stress = self._forces_jit(new)
+        return new.replace(
+            forces=forces, potential_energy=energy, stress=stress
+        )
 
     def _dump_frame(self, state: MDState, path: str, append: bool):
         from ..atoms import AtomsLite

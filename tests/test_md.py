@@ -363,3 +363,39 @@ def test_md_runner_poscar_input(tmp_path):
     import numpy as np
 
     assert np.isfinite(out["thermo"][-1]["pe"])
+
+
+def test_auto_capacity_growth():
+    """A deliberately undersized neighbor capacity triggers the in-run
+    auto-growth (snapshot -> bigger capacities -> recompile -> retry), the
+    dynamic analogue of LAMMPS' buffer growth (pair_e3gnn.cpp:283-288)."""
+    import jax
+    import numpy as np
+
+    from bench import water_box
+    from sevennet_tpu.md import MDEngine
+    from sevennet_tpu.md.neighbor import build_cell_list_spec
+    from sevennet_tpu.model import build_model_spec
+    from sevennet_tpu.model.model import model_init
+
+    pos, Z, cell = water_box(60)
+    spec = build_model_spec({
+        "cutoff": 5.0, "channel": 8, "lmax": 1, "is_parity": False,
+        "num_convolution_layer": 2, "self_connection_type": "linear",
+        "conv_denominator": 35.0, "chemical_species": ["H", "O"],
+        "_edge_chunk": 0, "_remat": False,
+    })
+    params = model_init(jax.random.PRNGKey(0), spec)
+    # undersized: half the real max neighbor count
+    from sevennet_tpu.data.neighborlist import neighbor_list_numpy
+
+    dst, _, _ = neighbor_list_numpy(pos, 5.6, cell, (True, True, True))
+    true_max = int(np.bincount(dst, minlength=len(pos)).max())
+    small = build_cell_list_spec(cell, len(pos), 5.0, 0.6,
+                                 neighbor_capacity=max(true_max // 2, 4))
+    eng = MDEngine(spec, params, cell, fused=False, cl_spec=small)
+    st = eng.make_state(pos, Z, temperature=300.0)
+    st, (pe, ke) = eng.run(st, 10, dt=0.5, chunk=5)
+    assert np.isfinite(np.asarray(pe)).all()
+    assert not bool(st.nl_overflow)
+    assert eng.cl_spec.neighbor_capacity > max(true_max // 2, 4)
