@@ -85,6 +85,79 @@ class SevenNetTPUCalculator:
         self.results: Dict[str, Any] = {}
 
     # -- core -----------------------------------------------------------------
+    def _fused_point_fn(self, k: int, n_cap: int, e_cap: int):
+        """One jitted program for a fused single point: on-device edge
+        densification into the (N, K) slot grid, on-device mirror map, then
+        the model with energy+forces+stress. The host only runs the neighbor
+        list and a dst-argsort — the (N*K) grids never exist on the host
+        (their first-touch cost dominated the per-call latency)."""
+        key = ("pt", k, n_cap, e_cap)
+        if key in self._jitted:
+            return self._jitted[key]
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from .data.graph import GraphBatch
+        from .ops.fused_conv import mirror_map
+
+        prec = self._precision
+        spec = dataclasses.replace(
+            self.spec, edge_dense_k=k, conv_fused=True,
+            conv_param_grads=False, edge_chunk=0,
+        )
+        compute_stress = self.compute_stress
+
+        def fn(params, positions, species, atom_mask, cell, src, dst,
+               shift, n_edges):
+            # dense scatter: edges arrive dst-sorted; slot = rank in group
+            e = jnp.arange(e_cap, dtype=jnp.int32)
+            valid = e < n_edges
+            dstc = jnp.where(valid, dst, n_cap)
+            counts = jnp.zeros(n_cap + 1, jnp.int32).at[dstc].add(1)
+            starts = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(counts[:-1])]
+            )
+            slot = e - starts[dstc]
+            flat = jnp.where(valid, dstc * k + slot, n_cap * k)
+            owner = (jnp.arange(n_cap * k, dtype=jnp.int32) // k).astype(
+                jnp.int32
+            )
+            src_d = owner.at[flat].set(src, mode="drop")
+            shift_d = jnp.zeros((n_cap * k, 3), jnp.float32).at[flat].set(
+                shift, mode="drop"
+            )
+            mask_d = jnp.zeros(n_cap * k, bool).at[flat].set(
+                valid, mode="drop"
+            )
+            mir = mirror_map(
+                src_d.reshape(n_cap, k),
+                shift_d.reshape(n_cap, k, 3),
+                mask_d.reshape(n_cap, k),
+            ).reshape(-1)
+            gb = GraphBatch(
+                positions=positions,
+                species=species,
+                atom_mask=atom_mask,
+                batch=jnp.zeros(n_cap, jnp.int32),
+                edge_src=src_d,
+                edge_dst=owner,
+                edge_shift=shift_d,
+                edge_mask=mask_d,
+                cell=cell[None],
+                volume=jnp.maximum(
+                    jnp.abs(jnp.linalg.det(cell)), 1e-12
+                )[None],
+                num_atoms=jnp.sum(atom_mask.astype(jnp.int32))[None],
+                graph_mask=jnp.ones(1, bool),
+                edge_mir=mir,
+            )
+            with jax.default_matmul_precision(prec):
+                return model_compute(spec, params, gb, compute_stress)
+
+        self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
+
     def _compute_fn(self, dense_k: int = 0):
         key = ("fn", dense_k)
         if key not in self._jitted:
@@ -116,29 +189,42 @@ class SevenNetTPUCalculator:
         dst, src, shifts = neighbor_list_numpy(
             at.positions, self.spec.cutoff, at.cell, at.pbc
         )
-        g = graph_from_arrays(
-            at.positions, species, src, dst, shifts,
-            at.cell if at.cell is not None else None,
-        )
         if self.fused:
-            from .ops.fused_conv import (
-                fused_conv_block_atoms,
-                mirror_map_numpy,
-            )
+            from .ops.fused_conv import fused_conv_block_atoms
 
             counts = np.bincount(np.asarray(dst), minlength=n)
             k = -(-_bucket(max(int(counts.max(initial=1)), 1)) // 8) * 8
             A = fused_conv_block_atoms(k)
             n_cap = -(-_bucket(n) // A) * A
-            gb = batch_graphs([g], n_atoms_cap=n_cap, dense_k=k)
-            mir = mirror_map_numpy(
-                np.asarray(gb.edge_src).reshape(n_cap, k),
-                np.asarray(gb.edge_shift).reshape(n_cap, k, 3),
-                np.asarray(gb.edge_mask).reshape(n_cap, k),
+            e = len(dst)
+            e_cap = _bucket(max(e, 1))
+            order = np.argsort(dst, kind="stable")
+            padi = lambda a: np.concatenate(
+                [np.asarray(a, np.int32)[order],
+                 np.zeros(e_cap - e, np.int32)]
             )
-            gb = gb.replace(edge_mir=mir.reshape(-1))
-            out = self._compute_fn(k)(self.params, gb)
+            shift_p = np.concatenate(
+                [np.asarray(shifts, np.float32)[order],
+                 np.zeros((e_cap - e, 3), np.float32)]
+            )
+            padn = lambda a, d: np.concatenate(
+                [np.asarray(a, d),
+                 np.zeros((n_cap - n,) + np.shape(a)[1:], d)]
+            )
+            mask = np.zeros(n_cap, bool)
+            mask[:n] = True
+            cell = (at.cell if at.cell is not None
+                    else np.eye(3)).astype(np.float32)
+            out = self._fused_point_fn(k, n_cap, e_cap)(
+                self.params, padn(at.positions, np.float32),
+                padn(species, np.int32), mask, cell,
+                padi(src), padi(dst), shift_p, np.int32(e),
+            )
         else:
+            g = graph_from_arrays(
+                at.positions, species, src, dst, shifts,
+                at.cell if at.cell is not None else None,
+            )
             gb = batch_graphs(
                 [g], n_atoms_cap=_bucket(n), n_edges_cap=_bucket(max(len(dst), 1))
             )
