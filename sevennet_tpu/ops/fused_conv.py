@@ -58,6 +58,7 @@ __all__ = [
     "make_fused_conv_fwd",
     "make_fused_conv_bwd",
     "fused_conv_apply",
+    "fused_conv_apply_ext",
     "fused_conv_block_atoms",
     "fused_conv_bwd_block_atoms",
     "to_k_major",
@@ -658,8 +659,9 @@ _fused_conv.defvjp(_fused_conv_fwd_rule, _fused_conv_bwd_rule)
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _fused_conv_chunked(conv, mlp_spec, A, param_grads, RC, mlp_ws, x,
                         emb_nk, sh_nk, src_nk):
-    K = src_nk.shape[1]
-    N = x.shape[0]
+    # receiver rows come from src_nk: x may be LARGER (extended set with
+    # ghost rows in distributed MD — senders beyond the local receivers)
+    N, K = src_nk.shape
     fwd, _, _ = _get_kernels(conv, mlp_spec, A, K, param_grads)
 
     def chunk(carry, sl):
@@ -717,7 +719,7 @@ def _fused_conv_chunked_bwd(conv, mlp_spec, A, param_grads, RC, res, ybar):
     )
     dmlp0 = tuple(jnp.zeros_like(w) for w in mlp_ws)
     (dx, dmlp), (demb, dsh) = jax.lax.scan(
-        chunk, (jnp.zeros((N, dim_x), x.dtype), dmlp0), sl
+        chunk, (jnp.zeros((x.shape[0], dim_x), x.dtype), dmlp0), sl
     )
     dmlp = tuple(g.astype(w.dtype) for g, w in zip(dmlp, mlp_ws))
     return (
@@ -783,3 +785,40 @@ def fused_conv_apply(
         conv, mlp_spec, A, bool(param_grads), ws, x, emb_nk, sh_nk,
         src_nk, mir_nk,
     )
+
+
+def fused_conv_apply_ext(
+    conv: ConvTPSpec,
+    mlp_spec: ScalarMLPSpec,
+    mlp_params,
+    x_ext,      # (N_ext, dim_x) — local rows first, then ghosts
+    emb_nk,     # (N, K, n_basis), zero on padded slots
+    sh_nk,      # (N, K, dim_f)
+    src_nk,     # (N, K) int32 indices into x_ext
+    *,
+    block_atoms: int = 0,
+    param_grads: bool = True,
+    row_chunk: int = 0,
+):
+    """Fused Pallas conv whose senders index an EXTENDED feature set
+    (owned + ghost rows — distributed domain decomposition). Receiver rows
+    come from ``src_nk``; ``x_ext`` may be larger. Always uses the
+    scatter-add backward: the mirror reduction assumes a symmetric neighbor
+    list, which domain boundaries break (a ghost sender's reverse edge
+    lives on the neighboring device). The x-cotangent therefore covers
+    ghost rows too and flows back through the halo exchange's transpose."""
+    N, K = src_nk.shape
+    A = block_atoms or fused_conv_block_atoms(K)
+    ws = tuple(mlp_params["w"]) if isinstance(mlp_params, dict) else tuple(mlp_params)
+    RC = max(A, ((row_chunk or N) // A) * A)
+    Np = -(-N // RC) * RC
+    if Np > N:
+        pad = Np - N
+        emb_nk = jnp.pad(emb_nk, ((0, pad), (0, 0), (0, 0)))
+        sh_nk = jnp.pad(sh_nk, ((0, pad), (0, 0), (0, 0)))
+        src_nk = jnp.pad(src_nk, ((0, pad), (0, 0)))
+    out = _fused_conv_chunked(
+        conv, mlp_spec, A, bool(param_grads), RC, ws, x_ext, emb_nk,
+        sh_nk, src_nk,
+    )
+    return out[:N]

@@ -36,6 +36,7 @@ ICI on a pod.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -164,6 +165,7 @@ class DistributedMDEngine:
         ghost_caps: Optional[Sequence[int]] = None,
         migrate_cap: Optional[int] = None,
         matmul_precision: str = "highest",
+        fused: Optional[bool] = None,
     ):
         cell = np.asarray(cell, np.float64).reshape(3, 3)
         offdiag = cell - np.diag(np.diag(cell))
@@ -171,6 +173,17 @@ class DistributedMDEngine:
             "DistributedMDEngine requires an orthogonal cell"
         )
         self.spec = dataclasses.replace(spec, edge_dense_k=0, conv_fused=False)
+        if fused is None:
+            env = os.environ.get("SEVENNET_TPU_FUSED")
+            if env is not None:
+                fused = bool(int(env))
+            else:
+                fused = jax.default_backend() == "tpu"
+        # fused Pallas conv over the extended (owned+ghost) set with the
+        # scatter-add backward — the mirror-gather backward is unusable
+        # here (domain boundaries break neighbor-list symmetry: a ghost
+        # sender's reverse edge lives on the neighboring device)
+        self.fused = bool(fused)
         self.params = params
         self.cell = cell
         self.mesh = mesh
@@ -300,8 +313,14 @@ class DistributedMDEngine:
             self.cl_spec = build_cell_list_spec(
                 fake, next_cap, self.spec.cutoff, self.skin
             )
-            # keep the full (N, K) slot grid (no edge compaction)
-            self.cl_spec = dataclasses.replace(self.cl_spec, edge_cap=0)
+            # keep the full (N, K) slot grid (no edge compaction); the
+            # fused kernels need K to be a multiple of 8 (lane tiling)
+            kcap = self.cl_spec.neighbor_capacity
+            if self.fused:
+                kcap = -(-kcap // 8) * 8
+            self.cl_spec = dataclasses.replace(
+                self.cl_spec, edge_cap=0, neighbor_capacity=kcap
+            )
             self.fake_cell = fake
 
         species = self.spec.z_to_type[np.asarray(atomic_numbers)]
@@ -706,14 +725,30 @@ class DistributedMDEngine:
                 sc = None
             x1 = linear_apply(layer.si1, params[f"{t}_self_interaction_1"], x)
             x_ext = self._staged_ext(x1, comm)
-            w = scalar_mlp_apply(
-                layer.radial_mlp, params[f"{t}_convolution"]["weight_nn"],
-                edge_emb,
-            )
-            msg = conv_tp_apply(layer.conv, x_ext[src], sh, w)
-            xc = jax.ops.segment_sum(
-                msg, dst, num_segments=NL, indices_are_sorted=True
-            )
+            if self.fused:
+                # Pallas kernels over the (NL, K) slot grid; senders index
+                # the extended set, so the scatter-add backward's ghost-row
+                # cotangents ride the halo exchange's transpose back home
+                from ..ops.fused_conv import fused_conv_apply_ext
+
+                xc = fused_conv_apply_ext(
+                    layer.conv, layer.radial_mlp,
+                    params[f"{t}_convolution"]["weight_nn"],
+                    x_ext,
+                    edge_emb.reshape(NL, K, -1),
+                    sh.reshape(NL, K, -1),
+                    comm["edge_src"],
+                    param_grads=False,
+                )
+            else:
+                w = scalar_mlp_apply(
+                    layer.radial_mlp, params[f"{t}_convolution"]["weight_nn"],
+                    edge_emb,
+                )
+                msg = conv_tp_apply(layer.conv, x_ext[src], sh, w)
+                xc = jax.ops.segment_sum(
+                    msg, dst, num_segments=NL, indices_are_sorted=True
+                )
             xc = xc / params[f"{t}_convolution"]["denominator"][0]
             xc = linear_apply(layer.si2, params[f"{t}_self_interaction_2"], xc)
             if sc is not None:
