@@ -79,14 +79,21 @@ class GraphDataset:
     _stats: Optional[Dict] = None
 
     @staticmethod
-    def from_extxyz(path, cutoff: float, z_to_type=None, modal: int = 0) -> "GraphDataset":
-        from .extxyz import read_extxyz
+    def from_files(path, cutoff: float, z_to_type=None, modal: int = 0) -> "GraphDataset":
+        """Build from any supported structure file(s): extxyz natively,
+        OUTCAR/POSCAR/structure_list natively, and every other format via
+        ``ase.io.read`` when ASE is installed (the reference's universal
+        ingestion, ``sevenn/train/dataload.py:351-519``)."""
+        from .readers import read_structures
 
         paths = [path] if isinstance(path, str) else list(path)
         frames: List[AtomsLite] = []
         for p in paths:
-            frames.extend(read_extxyz(p))
+            frames.extend(read_structures(p))
         return GraphDataset(frames, cutoff, z_to_type, modal)
+
+    # kept name from earlier rounds; now dispatches on format
+    from_extxyz = from_files
 
     # -- species ------------------------------------------------------------
     @property

@@ -24,6 +24,7 @@ from ..model.model import model_compute
 from .integrators import (
     berendsen_npt_step,
     langevin_step,
+    mtk_npt_step,
     nose_hoover_step,
     nve_step,
 )
@@ -394,9 +395,9 @@ class MDEngine:
 
     def _step_fn(self, integrator: str, dt: float, **kw):
         skin_half_sq = (self.skin / 2.0) ** 2
-        need_stress = integrator in ("npt_berendsen",) or kw.get(
-            "compute_stress", False
-        )
+        need_stress = integrator in (
+            "npt_berendsen", "npt", "npt_mtk", "npt_nose_hoover"
+        ) or kw.get("compute_stress", False)
         kw = {k: v for k, v in kw.items() if k != "compute_stress"}
 
         def forces_fn(state):
@@ -418,6 +419,13 @@ class MDEngine:
         elif integrator in ("nose_hoover", "nvt"):
             inner = lambda s: nose_hoover_step(
                 s, forces_fn, dt, kw["temperature"], kw.get("tau", 50.0)
+            )
+        elif integrator in ("npt", "npt_mtk", "npt_nose_hoover"):
+            inner = lambda s: mtk_npt_step(
+                s, forces_fn, dt, kw["temperature"],
+                pressure=kw.get("pressure", 0.0),
+                tau_t=kw.get("tau_t", 100.0),
+                tau_p=kw.get("tau_p", 1000.0),
             )
         elif integrator == "npt_berendsen":
             inner = lambda s: berendsen_npt_step(

@@ -58,6 +58,8 @@ class MDState:
     potential_energy: jnp.ndarray  # ()
     stress: jnp.ndarray  # (6,) voigt eV/A^3 (zeros unless engine computes it)
     thermo: jnp.ndarray  # (2, 3) Nose-Hoover chain (xi, v_xi) per link
+    # MTK barostat DOF: [v_eps, xi_b1..3, vxi_b1..3, eps] (zeros when unused)
+    baro: Optional[jnp.ndarray] = None  # (8,)
     edge_mir: Optional[jnp.ndarray] = None  # (E,) mirror map (fused conv)
     # original input index of each slot (tracks identity under spatial
     # sorting; trajectory dumps unpermute with it)
@@ -157,6 +159,7 @@ def init_md_state(
         potential_energy=jnp.asarray(0.0, dtype),
         stress=jnp.zeros(6, dtype),
         thermo=jnp.zeros((2, 3), dtype),
+        baro=jnp.zeros(8, dtype),
         edge_mir=(
             jnp.zeros(n_edges_cap, jnp.int32) if with_mirror else None
         ),

@@ -9,7 +9,7 @@ from typing import List, Optional
 import numpy as np
 
 from ..data.dataset import GraphDataset
-from ..train.metrics import MetricsAccumulator
+from ..train.error_recorder import ErrorRecorder, RecorderSpec
 
 __all__ = ["inference"]
 
@@ -31,7 +31,14 @@ def inference(
     ds.build(spec.z_to_type)
 
     f = jax.jit(lambda p, g: model_compute(spec, p, g))
-    acc = MetricsAccumulator()
+    # the reference's inference metric table (scripts/inference.py:141-255
+    # via util.get_error_recorder): RMSE + MAE per channel, plus the
+    # per-component force RMSE
+    acc = ErrorRecorder(RecorderSpec.from_config([
+        ("Energy", "RMSE"), ("Energy", "MAE"),
+        ("Force", "RMSE"), ("Force", "ComponentRMSE"), ("Force", "MAE"),
+        ("Stress", "RMSE"), ("Stress", "MAE"),
+    ]))
 
     per_graph_rows = []
     per_atom_rows = []
@@ -75,7 +82,7 @@ def inference(
     os.makedirs(output_dir, exist_ok=True)
     _write_csv(os.path.join(output_dir, "per_graph.csv"), per_graph_rows)
     _write_csv(os.path.join(output_dir, "per_atom.csv"), per_atom_rows)
-    errors = acc.compute()
+    errors = acc.get_metric_dict(with_unit=True)
     with open(os.path.join(output_dir, "errors.txt"), "w") as f_:
         for k, v in errors.items():
             f_.write(f"{k}: {v}\n")

@@ -86,9 +86,14 @@ def run_md_from_config(cfg: Dict, log=print) -> Dict:
     kw = {}
     if ensemble in ("nvt", "nose_hoover", "langevin"):
         kw["temperature"] = float(md.get("temperature", 300.0))
-    if ensemble == "npt_berendsen":
+    if ensemble in ("npt", "npt_mtk", "npt_nose_hoover", "npt_berendsen"):
+        # MTK Nose-Hoover NPT (fix-npt analogue) or Berendsen
         kw["temperature"] = float(md.get("temperature", 300.0))
         kw["pressure"] = float(md.get("pressure", 0.0))
+        if md.get("tau_t"):
+            kw["tau_t"] = float(md["tau_t"])
+        if md.get("tau_p"):
+            kw["tau_p"] = float(md["tau_p"])
 
     steps = int(md.get("steps", 1000))
     dt = float(md.get("dt", 1.0))

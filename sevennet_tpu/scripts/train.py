@@ -188,6 +188,8 @@ def train_run(
         train_stress=bool(train_cfg.get("is_train_stress", True)),
         use_weight=bool(train_cfg.get("use_weight", False)),
     )
+    from ..train.error_recorder import DEFAULT_ERROR_RECORD
+
     tcfg = TrainerConfig(
         loss=loss_cfg,
         optimizer=str(train_cfg.get("optimizer", "adam")),
@@ -195,6 +197,9 @@ def train_run(
         optim_param=dict(train_cfg.get("optim_param", {})),
         scheduler=str(train_cfg.get("scheduler", "constant")),
         scheduler_param=dict(train_cfg.get("scheduler_param", {})),
+        error_record=tuple(
+            tuple(e) for e in train_cfg.get("error_record", DEFAULT_ERROR_RECORD)
+        ),
     )
     trainer = Trainer(spec, params, tcfg)
     if cont_opt_state is not None:
@@ -212,9 +217,9 @@ def train_run(
     # best-checkpoint criterion (reference 'best_metric', TotalLoss default)
     _METRIC_KEY = {
         "totalloss": "loss_total",
-        "energy": "energy_rmse",
-        "force": "force_rmse",
-        "stress": "stress_rmse",
+        "energy": "Energy_RMSE",
+        "force": "Force_RMSE",
+        "stress": "Stress_RMSE",
     }
     best_metric_key = _METRIC_KEY.get(
         str(train_cfg.get("best_metric", "TotalLoss")).lower(), "loss_total"
@@ -259,7 +264,10 @@ def train_run(
         key_metrics = rows.get("valid", rows["train"])
         log.writeline(
             f"epoch {epoch}: lr={trainer.current_lr(epoch - 1):.3e} "
-            + " ".join(f"{k}={v:.4g}" for k, v in key_metrics.items() if "loss" in k or "rmse" in k)
+            + " ".join(
+                f"{k}={v:.4g}" for k, v in key_metrics.items()
+                if "loss" in k.lower() or "rmse" in k.lower()
+            )
         )
         log.timer_end("epoch", f"epoch {epoch} time")
 

@@ -29,8 +29,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..data.graph import GraphBatch
 from ..model.build import ModelSpec
 from ..model.model import model_compute
+from .error_recorder import (
+    DEFAULT_ERROR_RECORD,
+    RecorderSpec,
+    recorder_empty,
+    recorder_finalize,
+    recorder_update,
+)
 from .loss import LossConfig, compute_losses
-from .metrics import empty_accumulator, metrics_finalize, metrics_update
 from .optim import build_optimizer, build_schedule
 
 __all__ = ["TrainState", "TrainerConfig", "Trainer"]
@@ -53,6 +59,8 @@ class TrainerConfig:
     scheduler: str = "constant"
     scheduler_param: Dict[str, Any] = field(default_factory=dict)
     matmul_precision: str = "highest"
+    # metric table, reference 'error_record' (_const.py:276-281)
+    error_record: Any = DEFAULT_ERROR_RECORD
 
 
 class Trainer:
@@ -86,6 +94,9 @@ class Trainer:
             self.config.optim_param,
             spec=spec,
             params=params,
+        )
+        self.recorder_spec = RecorderSpec.from_config(
+            self.config.error_record, self.config.loss
         )
         self.state = TrainState(
             params=params,
@@ -151,7 +162,9 @@ class Trainer:
         with jax.default_matmul_precision(self.config.matmul_precision):
             out = model_compute(self.spec, params, graph)
         total, losses = compute_losses(out, graph, self.config.loss)
-        acc = metrics_update(empty_accumulator(), out, graph)
+        acc = recorder_update(
+            self.recorder_spec, recorder_empty(self.recorder_spec), out, graph
+        )
         return total, (losses, acc)
 
     def _make_train_step(self) -> Callable:
@@ -212,7 +225,10 @@ class Trainer:
             with jax.default_matmul_precision(self.config.matmul_precision):
                 out = model_compute(self.spec, params, graph)
             _, losses = compute_losses(out, graph, self.config.loss)
-            acc = metrics_update(empty_accumulator(), out, graph)
+            acc = recorder_update(
+                self.recorder_spec, recorder_empty(self.recorder_spec),
+                out, graph,
+            )
             return losses, acc
 
         return jax.jit(eval_step)
@@ -245,7 +261,7 @@ class Trainer:
     def run_epoch(self, loader, train: bool = True) -> Dict[str, float]:
         """loader yields GraphBatch (or device-stacked GraphBatch when a mesh
         is configured). Returns averaged losses + finalized metrics."""
-        acc_total = empty_accumulator()
+        acc_total = recorder_empty(self.recorder_spec)
         loss_sums: Dict[str, float] = {}
         n = 0
         for graph in loader:
@@ -258,5 +274,5 @@ class Trainer:
                 loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
             n += 1
         result = {f"loss_{k}": v / max(n, 1) for k, v in loss_sums.items()}
-        result.update(metrics_finalize(acc_total))
+        result.update(recorder_finalize(self.recorder_spec, acc_total))
         return result

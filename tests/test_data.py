@@ -186,3 +186,104 @@ def test_multiprocess_build_matches_serial(frames):
         assert np.allclose(g1.positions, g2.positions)
         assert np.array_equal(np.asarray(g1.edge_src), np.asarray(g2.edge_src))
         assert np.allclose(g1.edge_shift, g2.edge_shift)
+
+
+def test_read_structures_dispatch(tmp_path, frames):
+    """Universal reader: extxyz + POSCAR natively; unknown formats raise a
+    helpful error when ASE is absent (reference dataload.py:351-519)."""
+    from sevennet_tpu.data.readers import read_structures
+
+    path = str(tmp_path / "data.extxyz")
+    write_extxyz(path, frames)
+    back = read_structures(path)
+    assert len(back) == len(frames)
+
+    poscar = tmp_path / "POSCAR"
+    poscar.write_text(
+        "test\n1.0\n4.0 0 0\n0 4.0 0\n0 0 4.0\nO H\n1 1\nCartesian\n"
+        "0 0 0\n1.0 0 0\n"
+    )
+    ats = read_structures(str(poscar))
+    assert len(ats) == 1 and len(ats[0]) == 2
+    assert sorted(ats[0].numbers.tolist()) == [1, 8]
+
+    weird = tmp_path / "data.cif"
+    weird.write_text("not really a cif\n")
+    try:
+        import ase  # noqa: F401
+        has_ase = True
+    except ImportError:
+        has_ase = False
+    if not has_ase:
+        with pytest.raises(ValueError, match="ASE"):
+            read_structures(str(weird))
+
+    ds = GraphDataset.from_files(path, 4.0)
+    assert len(ds) == len(frames)
+
+
+def test_error_recorder_matches_manual(frames):
+    """ErrorRecorder streaming values == closed-form numpy on the same
+    predictions (reference metric semantics: vector RMSE, per-atom energy,
+    kbar stress; error_recorder.py:168-218)."""
+    import jax
+
+    from sevennet_tpu.data.graph import batch_graphs
+    from sevennet_tpu.data.dataset import atoms_to_graph
+    from sevennet_tpu.train.error_recorder import ErrorRecorder, RecorderSpec
+    from sevennet_tpu.train.loss import TO_KBAR
+
+    z2t = np.full(120, -1, np.int64)
+    z2t[1], z2t[8] = 0, 1
+    graphs = [atoms_to_graph(a, 4.0, z2t) for a in frames]
+    rng = np.random.default_rng(1)
+
+    spec = RecorderSpec.from_config([
+        ("Energy", "RMSE"), ("TotalEnergy", "RMSE"), ("Force", "RMSE"),
+        ("Force", "ComponentRMSE"), ("Force", "MAE"), ("Stress", "RMSE"),
+        ("TotalLoss", "None"),
+    ])
+    rec = ErrorRecorder(spec)
+
+    # manual accumulators
+    e_sq, e_tot_sq, ng = 0.0, 0.0, 0
+    f_sq, f_abs, na = 0.0, 0.0, 0
+    s_sq = 0.0
+    for i in range(0, len(graphs), 2):
+        gb = batch_graphs(graphs[i : i + 2])
+        out = {
+            "energy": np.asarray(gb.energy) + rng.normal(size=gb.energy.shape) * 0.5,
+            "forces": np.asarray(gb.forces) + rng.normal(size=gb.forces.shape) * 0.1,
+            "stress": np.asarray(gb.stress) + rng.normal(size=gb.stress.shape) * 0.01,
+        }
+        out = {k: np.nan_to_num(np.asarray(v, np.float32)) for k, v in out.items()}
+        out_j = {k: jax.numpy.asarray(v) for k, v in out.items()}
+        rec.update(out_j, gb)
+        gm = np.asarray(gb.graph_mask)
+        am = np.asarray(gb.atom_mask)
+        nat = np.asarray(gb.num_atoms)
+        de = (out["energy"] - np.asarray(gb.energy))[gm]
+        e_sq += np.sum((de / nat[gm]) ** 2)
+        e_tot_sq += np.sum(de**2)
+        ng += gm.sum()
+        df = (out["forces"] - np.asarray(gb.forces))[am]
+        f_sq += np.sum(df**2)
+        f_abs += np.sum(np.abs(df))
+        na += am.sum()
+        dstr = (out["stress"] - np.asarray(gb.stress))[gm] * TO_KBAR
+        s_sq += np.sum(dstr**2)
+
+    got = rec.get_current()
+    assert np.isclose(got["Energy_RMSE"], np.sqrt(e_sq / ng), rtol=1e-4)
+    assert np.isclose(got["TotalEnergy_RMSE"], np.sqrt(e_tot_sq / ng), rtol=1e-4)
+    assert np.isclose(got["Force_RMSE"], np.sqrt(f_sq / na), rtol=1e-4)
+    assert np.isclose(got["Force_ComponentRMSE"], np.sqrt(f_sq / (3 * na)), rtol=1e-4)
+    assert np.isclose(got["Force_MAE"], f_abs / (3 * na), rtol=1e-4)
+    assert np.isclose(got["Stress_RMSE"], np.sqrt(s_sq / ng), rtol=1e-4)
+    assert np.isfinite(got["TotalLoss"])
+    # display surface
+    md = rec.get_metric_dict(with_unit=True)
+    assert any(k.startswith("Force_RMSE (eV/") for k in md)
+    assert "Energy_RMSE (eV/atom)" in md
+    dct = rec.get_dct("valid")
+    assert any(k.startswith("valid_") for k in dct)

@@ -399,3 +399,27 @@ def test_auto_capacity_growth():
     assert np.isfinite(np.asarray(pe)).all()
     assert not bool(st.nl_overflow)
     assert eng.cl_spec.neighbor_capacity > max(true_max // 2, 4)
+
+
+def test_npt_mtk_conserves_invariant():
+    """MTK Nose-Hoover NPT (fix-npt analogue): the extended-system
+    invariant H' = PE+KE+thermostat+barostat+P*V must be ~conserved, and
+    the barostat must actually move the volume."""
+    from sevennet_tpu.md.integrators import npt_conserved_quantity
+
+    engine, pos, Z, cell = _hfo2_engine(7)
+    state = engine.make_state(pos, Z, temperature=300.0, seed=4)
+    v0 = float(state.volume())
+    kw = dict(temperature=300.0, pressure=0.0, tau_t=40.0, tau_p=200.0)
+    h0 = float(npt_conserved_quantity(state, **kw))
+    hs = [h0]
+    for _ in range(4):
+        state, _ = engine.run(state, 20, dt=0.5, integrator="npt", **kw)
+        hs.append(float(npt_conserved_quantity(state, **kw)))
+    v1 = float(state.volume())
+    assert np.isfinite(v1) and v1 > 0
+    assert abs(v1 - v0) > 1e-6  # piston moved
+    drift = max(abs(h - h0) for h in hs)
+    # 27 atoms, 80 x 0.5 fs, fp32: a broken integrator drifts ~eV here
+    assert drift < 0.05, (hs, drift)
+    assert np.isfinite(np.asarray(state.positions)).all()

@@ -125,7 +125,69 @@ class W3J:
                                 (0, 2, 1, -1), (2, 1, 0, -1), (1, 0, 2, -1)]:
                 w[a, b, cc] = s * c
             return w
-        raise KeyError(f"w3j {key} not in checkpoint and not analytic")
+        # general case (needed for lmax=3 architectures whose checkpoints
+        # carry no buffers): Racah-formula CG, independent of the sympy
+        # derivation used by the framework (sevennet_tpu/so3/wigner.py)
+        return torch.as_tensor(_racah_real_w3j(l1, l2, l3))
+
+
+def _racah_cg(j1, m1, j2, m2, j3, m3) -> float:
+    """<j1 m1 j2 m2 | j3 m3> via Racah's closed form (exact factorials)."""
+    if m1 + m2 != m3 or not abs(j1 - j2) <= j3 <= j1 + j2:
+        return 0.0
+    f = math.factorial
+    pre = (2 * j3 + 1) * f(j3 + j1 - j2) * f(j3 - j1 + j2) * f(j1 + j2 - j3)
+    pre = math.sqrt(pre / f(j1 + j2 + j3 + 1))
+    pre *= math.sqrt(
+        f(j3 + m3) * f(j3 - m3) * f(j1 - m1) * f(j1 + m1)
+        * f(j2 - m2) * f(j2 + m2)
+    )
+    s = 0.0
+    for k in range(0, j1 + j2 - j3 + 1):
+        denoms = (
+            k, j1 + j2 - j3 - k, j1 - m1 - k, j2 + m2 - k,
+            j3 - j2 + m1 + k, j3 - j1 - m2 + k,
+        )
+        if any(d < 0 for d in denoms):
+            continue
+        s += (-1) ** k / np.prod([float(f(d)) for d in denoms])
+    return pre * s
+
+
+def _racah_real_w3j(l1, l2, l3) -> np.ndarray:
+    """Real-basis Wigner 3j (e3nn convention): complex 3j from Racah CG,
+    real change of basis, (-i)^(l1+l2+l3) phase."""
+    W = np.zeros((2 * l1 + 1, 2 * l2 + 1, 2 * l3 + 1))
+    for m1 in range(-l1, l1 + 1):
+        for m2 in range(-l2, l2 + 1):
+            m3 = -(m1 + m2)
+            if abs(m3) > l3:
+                continue
+            cg = _racah_cg(l1, m1, l2, m2, l3, -m3)
+            W[m1 + l1, m2 + l2, m3 + l3] = (
+                (-1) ** (l1 - l2 - m3) / math.sqrt(2 * l3 + 1) * cg
+            )
+
+    def U(l):
+        u = np.zeros((2 * l + 1, 2 * l + 1), dtype=complex)
+        s2 = math.sqrt(2.0)
+        for mr in range(-l, l + 1):
+            a = mr + l
+            if mr == 0:
+                u[a, l] = 1.0
+            elif mr > 0:
+                u[a, mr + l] = (-1) ** mr / s2
+                u[a, -mr + l] = 1 / s2
+            else:
+                m = -mr
+                u[a, m + l] = (-1) ** m / (1j * s2)
+                u[a, -m + l] = -1 / (1j * s2)
+        return u
+
+    R = np.einsum("am,bn,cp,mnp->abc", U(l1), U(l2), U(l3), W.astype(complex))
+    R = ((-1j) ** (l1 + l2 + l3) * R)
+    assert np.abs(R.imag).max() < 1e-12
+    return np.ascontiguousarray(R.real)
 
 
 # --------------------------------------------------------------------------
