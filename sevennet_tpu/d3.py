@@ -139,17 +139,43 @@ def d3_energy(
         jnp.where(edge_mask[:, None], edge_vec, jnp.array([1.0, 0.0, 0.0], dtype)),
         axis=-1,
     )
-    r = r_ang / AU_TO_ANG  # a.u.
 
-    # coordination numbers
+    cn = d3_cn(params, zi, zj, r_ang, em, edge_dst, n)
+    cni = cn[edge_dst]
+    cnj = cn[edge_src]
+    e_pair = d3_pair_energy(params, zi, zj, r_ang, em, cni, cnj)
+    return jnp.sum(e_pair) * AU_TO_EV
+
+
+def d3_cn(params: D3Params, zi, zj, r_ang, em, edge_dst, n):
+    """Fractional coordination numbers by receiver
+    (``kernel_get_coordination_number``, ``pair_d3.cu:1035``). Split out so
+    the distributed engine can compute CN for OWNED atoms and ship ghost
+    CN values over the halo exchange (the reference gets this from LAMMPS
+    ghost communication)."""
+    t = _load_tables()
+    dtype = r_ang.dtype
+    rcov = jnp.asarray(t["rcov"], dtype)
+    r = r_ang / AU_TO_ANG
     rco = rcov[zi - 1] + rcov[zj - 1]  # already scaled by 4/3
     damp_cn = 1.0 / (1.0 + jnp.exp(-K1 * (rco / r - 1.0)))
     damp_cn = damp_cn * em * (r_ang < params.cn_cutoff)
-    cn = jax.ops.segment_sum(damp_cn, edge_dst, num_segments=n)
+    return jax.ops.segment_sum(damp_cn, edge_dst, num_segments=n)
 
-    # C6 interpolation over reference points (vectorized per edge)
-    cni = cn[edge_dst]
-    cnj = cn[edge_src]
+
+def d3_pair_energy(params: D3Params, zi, zj, r_ang, em, cni, cnj):
+    """Per-edge D3 energy (a.u., with the 1/2 double-count factor) given
+    CN values for both edge ends. Differentiable in ``r_ang`` and the CN
+    inputs (the CN dependence carries the dC6/dCN force contribution,
+    ``kernel_get_dC6_dCNij``, ``pair_d3.cu:796``)."""
+    t = _load_tables()
+    dtype = r_ang.dtype
+    r2r4 = jnp.asarray(t["r2r4"], dtype)
+    c6_ref = jnp.asarray(t["c6ab_c6"], dtype)  # (95,95,5,5)
+    cn1_ref = jnp.asarray(t["c6ab_cn1"], dtype)
+    cn2_ref = jnp.asarray(t["c6ab_cn2"], dtype)
+    r = r_ang / AU_TO_ANG
+
     refs_c6 = c6_ref[zi, zj]  # (E, 5, 5)
     refs_cn1 = cn1_ref[zi, zj]
     refs_cn2 = cn2_ref[zi, zj]
@@ -193,8 +219,7 @@ def d3_energy(
         e6 = f6 * c6 / r6
         e8 = f8 * c8 / r8
 
-    e_pair = -0.5 * (params.s6 * e6 + params.s8 * e8) * within
-    return jnp.sum(e_pair) * AU_TO_EV
+    return -0.5 * (params.s6 * e6 + params.s8 * e8) * within
 
 
 def d3_compute(params: D3Params, numbers, dst, src, ev, emask):

@@ -141,12 +141,13 @@ def _sinhc(x):
     return 1.0 + x2 / 6.0 * (1.0 + x2 / 20.0 * (1.0 + x2 / 42.0))
 
 
-def _nhc_baro_half(state: MDState, dt: float, temperature: float,
+def _nhc_baro_half(baro, dt: float, temperature: float,
                    tau_p: float, W):
     """Half-step NHC (M=3) thermostatting the single barostat DOF
-    (kinetic term W*v_eps^2); returns updated baro vector."""
+    (kinetic term W*v_eps^2); takes and returns the (8,) baro vector
+    [v_eps, xi(3), vxi(3), eps_log] — shared with the distributed engine's
+    replicated barostat state."""
     kT = KB_EV * temperature
-    baro = state.baro
     v_eps = baro[0]
     xi = baro[1:4]
     vxi = baro[4:7]
@@ -230,7 +231,7 @@ def mtk_npt_step(
         return state.replace(velocities=v * mask)
 
     # -- chains (baro NHC + particle NHC), then v_eps, then v ----------------
-    state = state.replace(baro=_nhc_baro_half(state, dt, temperature, tau_p, W))
+    state = state.replace(baro=_nhc_baro_half(state.baro, dt, temperature, tau_p, W))
     scale, thermo = _nhc_half(state, dt, temperature, tau_t)
     state = state.replace(velocities=state.velocities * scale, thermo=thermo)
     state = veps_half(state)
@@ -255,7 +256,7 @@ def mtk_npt_step(
     state = veps_half(state)
     scale, thermo = _nhc_half(state, dt, temperature, tau_t)
     state = state.replace(velocities=state.velocities * scale, thermo=thermo)
-    state = state.replace(baro=_nhc_baro_half(state, dt, temperature, tau_p, W))
+    state = state.replace(baro=_nhc_baro_half(state.baro, dt, temperature, tau_p, W))
     return state.replace(step=state.step + 1)
 
 

@@ -123,21 +123,54 @@ def _instr_tables(conv: ConvTPSpec):
     return instr, w3j_pack, dim_mid, w_off
 
 
-def fused_conv_block_atoms(K: int, target_t: int = 1536) -> int:
-    """Atoms per block A for the FORWARD kernel (multiple of 8, A*K near
-    target_t). Measured on v5e at 3k/K'=88: target 1536 gives 102.1
-    ms/step end-to-end; 3072 (A=32 fwd, A=16 bwd) measured 108.7 despite
-    a faster isolated forward — the larger block loses more in the
-    backward than it gains. Kept at 1536."""
+def fused_conv_block_atoms(K: int, target_t: int = 2816) -> int:
+    """Atoms per block A for the FORWARD kernel.
+
+    Round-3 rule (measured end-to-end on v5e, BENCH r3 logs): pick the
+    largest multiple of 8 with ``A*K <= target_t`` whose lane count
+    ``T = A*K`` is a multiple of 128 — unaligned T (e.g. 24*72 = 1728 =
+    13.5 x 128) ran the full MD step 1.4-3x slower despite similar
+    isolated-kernel times. At K=72 this picks A=32 (T=2304): 68.7 ms/step
+    at 3k atoms vs 84.5 for round 2's A=24."""
     assert K % 8 == 0, "dense neighbor capacity K must be a multiple of 8"
-    return max(8, int(round(target_t / K / 8)) * 8)
+    import os
+
+    target_t = int(os.environ.get("SEVENNET_TPU_TARGET_T", target_t))
+    best = 8
+    for A in range(8, max(target_t // K, 8) + 1, 8):
+        if A * K <= target_t and (A * K) % 128 == 0:
+            best = A
+    if best == 8 and (8 * K) % 128 != 0:
+        # no aligned choice (e.g. K=40): fall back to the nearest size
+        best = max(8, int(round(target_t / K / 8)) * 8)
+    return best
 
 
-def fused_conv_bwd_block_atoms(A_fwd: int) -> int:
-    """Backward block size: a multiple of 8 that DIVIDES the forward block
-    (the backward kernel holds ~2x the VMEM state, so larger forward
-    blocks pair with a halved backward block)."""
-    return A_fwd // 2 if A_fwd % 16 == 0 and A_fwd > 16 else A_fwd
+def fused_conv_bwd_block_atoms(A_fwd: int, K: int = 0,
+                               target_t: int = 1536) -> int:
+    """Backward block size: the largest divisor of the forward block (so
+    the padded atom capacity stays divisible) whose T_b = A_b*K stays at or
+    under ``target_t`` — the backward holds ~2x the forward's VMEM state
+    and overflows the 110 MB scoped limit near T=2880 at SevenNet-0 shapes
+    (124 MB, BENCH r3 logs)."""
+    import os
+
+    env = os.environ.get("SEVENNET_TPU_BWD_A")
+    if env:
+        return int(env)
+    if not K:
+        return A_fwd // 2 if A_fwd % 2 == 0 and A_fwd > 8 else A_fwd
+    # largest divisor of A_fwd that is a multiple of 8, fits target_t, and
+    # keeps T_b lane-aligned (see fused_conv_block_atoms); else smallest
+    # multiple-of-8 divisor
+    cands = [
+        d for d in range(8, A_fwd + 1, 8)
+        if A_fwd % d == 0 and d * K <= target_t and (d * K) % 128 == 0
+    ]
+    if cands:
+        return cands[-1]
+    cands = [d for d in range(8, A_fwd + 1, 8) if A_fwd % d == 0]
+    return cands[0] if cands else A_fwd
 
 
 def to_k_major(arr_nk, A: int):
@@ -563,6 +596,205 @@ def make_fused_conv_bwd(
     return fused_bwd
 
 
+def make_fused_conv_bwd2(
+    conv: ConvTPSpec,
+    mlp_spec: ScalarMLPSpec,
+    A: int,
+    K: int,
+    act: str = "silu",
+    param_grads: bool = True,
+    interpret: Optional[bool] = None,
+):
+    """Round-3 backward kernel: same contract as :func:`make_fused_conv_bwd`
+    but with the redundant products factored out (measured 60% of model cost
+    in round 2 — the reverse pass the reference pays C++/cuEq for,
+    ``pair_e3gnn_parallel.cpp:404-441``):
+
+    - the dx-path accumulator ``acc_m = sum_p ybt[p] * tmp[r(m,p)]`` is
+      REUSED for the weight cotangent: ``dw = sum_m xg[m] * acc_m`` —
+      the old kernel recomputed ``q = xg[m]*ybt[p]`` and ``q*tmp[r]`` per
+      (m, p, r) triple (2x sum_mp_mul extra element-ops per edge).
+    - ``dtmp[r] = sum_u xw[m]*ybt[p]`` uses the forward's ``xw = xg*wb``
+      products instead of forming ``q`` separately.
+    - the receiver-cotangent tiles ``ybt`` are built with ONE broadcast of
+      the whole (dim_mid, A) block to (dim_mid, K, A) instead of per-p
+      K-fold `concatenate` chains.
+    """
+    instr, w3j_pack_np, dim_mid, numel = _instr_tables(conv)
+    dim_x = conv.irreps_x.dim
+    dim_f = conv.irreps_filter.dim
+    n_basis = mlp_spec.dims[0]
+    R = w3j_pack_np.shape[0]
+    T = A * K
+    cst = NORMALIZE2MOM_CST[act]
+    assert act == "silu"
+    n_mlp = len(mlp_spec.dims) - 1
+    dims = mlp_spec.dims
+    inv_sqrt = [1.0 / math.sqrt(d) for d in dims[:-1]]
+
+    def kernel(xg_ref, emb_ref, sh_ref, ybar_ref, *rest):
+        mlp_refs = rest[:n_mlp]
+        w3j_ref = rest[n_mlp]
+        outs = rest[n_mlp + 1 :]
+        dxg_ref, demb_ref, dsh_ref = outs[0], outs[1], outs[2]
+        dw_refs = outs[3 : 3 + n_mlp] if param_grads else ()
+        dxscr = outs[3 + n_mlp] if param_grads else outs[3]
+
+        xgT = xg_ref[:].T
+        embT = emb_ref[:].T
+        shT = sh_ref[:].T
+        ybT = ybar_ref[:].T        # (dim_mid, A)
+        # one lane-concat for every receiver-cotangent tile: k-major lanes
+        # t = k*A + a, so copy k occupies lanes [k*A, (k+1)*A) — a single
+        # (dim_mid, T) tiling instead of per-(instruction, p) concat chains
+        # (broadcast_to+reshape does not lower in Mosaic: the merged minor
+        # dims need a relayout)
+        ybt_full = jnp.concatenate([ybT] * K, axis=1)
+
+        # ---- recompute the radial MLP, keeping pre-activations ----
+        h = embT
+        hs = [h]
+        zs = []
+        for li, wref in enumerate(mlp_refs):
+            z = jnp.dot(wref[:].T, h, **_DOT) * inv_sqrt[li]
+            zs.append(z)
+            h = jax.nn.silu(z) * cst if li < n_mlp - 1 else z
+            hs.append(h)
+        w_edge = hs[-1]            # (numel, T)
+        tmp = jnp.dot(w3j_ref[:], shT, **_DOT)  # (R, T)
+
+        dw_blocks = {}
+        dtmp_rows = [None] * R
+        dx_blocks = {}
+
+        for ins in instr:
+            d1, d3, mul = ins["d1"], ins["d3"], ins["mul"]
+            x0, w0 = ins["x_start"], ins["w_start"]
+            wb = w_edge[w0 : w0 + mul, :]
+            g0, u_off, u_tot = ins["g_start"], ins["u_off"], ins["u_tot"]
+            ybt = {
+                p: ybt_full[g0 + p * u_tot + u_off :, :][:mul, :]
+                for p in range(d3)
+            }
+            xw = [
+                xgT[x0 + m * mul : x0 + (m + 1) * mul, :] * wb
+                for m in range(d1)
+            ]
+            dwb = None
+            for m in range(d1):
+                acc = None
+                for mm, p, r in ins["mp"]:
+                    if mm != m:
+                        continue
+                    t = ybt[p] * tmp[r : r + 1, :]
+                    acc = t if acc is None else acc + t
+                if acc is None:
+                    continue
+                key = x0 + m * mul
+                dxm = acc * wb
+                dx_blocks[key] = (
+                    dxm if key not in dx_blocks else dx_blocks[key] + dxm
+                )
+                # dw reuses acc: sum_m xg[m] * acc_m  (== sum_mp q*tmp)
+                contrib = xgT[x0 + m * mul : x0 + (m + 1) * mul, :] * acc
+                dwb = contrib if dwb is None else dwb + contrib
+            for m, p, r in ins["mp"]:
+                # dtmp[r] = sum_u q*wb = sum_u xw[m]*ybt[p]
+                dtmp_rows[r] = jnp.sum(
+                    xw[m] * ybt[p], axis=0, keepdims=True
+                )
+            dw_blocks[ins["w_start"]] = dwb
+
+        for key, dxm in dx_blocks.items():
+            dxscr[key : key + dxm.shape[0], :] = dxm
+        spans = sorted((k, k + v.shape[0]) for k, v in dx_blocks.items())
+        cur = 0
+        for a, b in spans + [(dim_x, dim_x)]:
+            if a > cur:
+                dxscr[cur:a, :] = jnp.zeros((a - cur, T), jnp.float32)
+            cur = max(cur, b)
+
+        dw_edge = jnp.concatenate(
+            [dw_blocks[ins["w_start"]] for ins in instr], axis=0
+        )
+        dtmp = jnp.concatenate([dtmp_rows[r] for r in range(R)], axis=0)
+
+        dshT = jnp.dot(w3j_ref[:].T, dtmp, **_DOT)
+        dsh_ref[:] = dshT.T
+
+        g = dw_edge
+        for li in range(n_mlp - 1, -1, -1):
+            if param_grads:
+                dW = jnp.dot(hs[li], g.T, **_DOT) * inv_sqrt[li]
+                is_first = pl.program_id(0) == 0
+
+                @pl.when(is_first)
+                def _(dref=dw_refs[li], val=dW):
+                    dref[:] = val
+
+                @pl.when(jnp.logical_not(is_first))
+                def _(dref=dw_refs[li], val=dW):
+                    dref[:] = dref[:] + val
+
+            g = jnp.dot(mlp_refs[li][:], g, **_DOT) * inv_sqrt[li]
+            if li > 0:
+                z = zs[li - 1]
+                sig = jax.nn.sigmoid(z)
+                dsilu = sig * (1.0 + z * (1.0 - sig))
+                g = g * (dsilu * cst)
+        demb_ref[:] = g.T
+        dxg_ref[:] = dxscr[:].T
+
+    def fused_bwd(xg, emb, sh, ybar, mlp_ws):
+        NK = xg.shape[0]
+        assert NK % T == 0, (NK, T)
+        n_blocks = NK // T
+        in_specs = [
+            pl.BlockSpec((T, dim_x), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, n_basis), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, dim_f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, dim_mid), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for w in mlp_ws
+        ] + [
+            pl.BlockSpec((R, dim_f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((NK, dim_x), jnp.float32),
+            jax.ShapeDtypeStruct((NK, n_basis), jnp.float32),
+            jax.ShapeDtypeStruct((NK, dim_f), jnp.float32),
+        ]
+        out_specs = [
+            pl.BlockSpec((T, dim_x), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, n_basis), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, dim_f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        if param_grads:
+            for w in mlp_ws:
+                out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+                out_specs.append(
+                    pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+                )
+        res = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            scratch_shapes=[pltpu.VMEM((dim_x, T), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            interpret=_auto_interpret(interpret),
+        )(xg, emb, sh, ybar, *mlp_ws, jnp.asarray(w3j_pack_np))
+        if param_grads:
+            return res[0], res[1], res[2], tuple(res[3:])
+        return res[0], res[1], res[2]
+
+    return fused_bwd
+
+
 # ---------------------------------------------------------------------------
 # custom_vjp wrapper (the production conv op)
 # ---------------------------------------------------------------------------
@@ -572,13 +804,16 @@ _KERNEL_CACHE: Dict = {}
 
 
 def _get_kernels(conv, mlp_spec, A, K, param_grads):
-    key = (conv, mlp_spec, A, K, param_grads)
+    import os
+
+    use_bwd2 = bool(int(os.environ.get("SEVENNET_TPU_BWD2", 1)))
+    key = (conv, mlp_spec, A, K, param_grads, use_bwd2)
     if key not in _KERNEL_CACHE:
-        A_b = fused_conv_bwd_block_atoms(A)
+        A_b = fused_conv_bwd_block_atoms(A, K)
+        mk = make_fused_conv_bwd2 if use_bwd2 else make_fused_conv_bwd
         _KERNEL_CACHE[key] = (
             make_fused_conv_fwd(conv, mlp_spec, A, K),
-            make_fused_conv_bwd(conv, mlp_spec, A_b, K,
-                                param_grads=param_grads),
+            mk(conv, mlp_spec, A_b, K, param_grads=param_grads),
             A_b,
         )
     return _KERNEL_CACHE[key]

@@ -3,9 +3,11 @@ counterpart of the reference's parallel LAMMPS pair style
 (``pair_e3gnn_parallel.cpp:194-506`` + the modified CommBrick halo exchange,
 ``comm_brick.cpp:1057-1123``), redesigned for SPMD:
 
-- 1-D slab or 2-D/3-D **brick** decomposition of an ORTHOGONAL cell over a
-  1-3-axis mesh; each device owns the atoms in its brick (fixed capacity +
-  mask).
+- 1-D slab or 2-D/3-D **brick** decomposition over a 1-3-axis mesh; bricks
+  are slabs in FRACTIONAL coordinates, so triclinic cells decompose into
+  prisms (the CommBrick prism handling analogue,
+  ``comm_brick.cpp:1057-1123``); each device owns the atoms in its brick
+  (fixed capacity + mask).
 - Halos use the CommBrick **staged swap** scheme: exchange along axis 0,
   then along axis 1 shipping owned + axis-0 ghosts, then axis 2 — corner
   and edge ghosts ride along automatically with 2 ``ppermute`` calls per
@@ -45,6 +47,7 @@ import numpy as np
 from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..md.integrators import _nhc_baro_half, _sinhc
 from ..md.neighbor import CellListSpec, build_cell_list_spec, rebuild_neighbors
 from ..md.state import ATOMIC_MASSES, EV_A_AMU_TO_A_FS2, KB_EV
 from ..model.build import ModelSpec
@@ -85,6 +88,18 @@ class DistMDState:
     step: jnp.ndarray        # () int32
     nl_overflow: jnp.ndarray  # () bool (global)
     potential_energy: jnp.ndarray  # () global
+    # optional D3 dispersion NL (second, longer-ranged; src indexes the
+    # extended set like the model NL)
+    d3_edge_src: Optional[jnp.ndarray] = None    # (D, NL, K3)
+    d3_edge_shift: Optional[jnp.ndarray] = None  # (D, NL, K3, 3)
+    d3_edge_mask: Optional[jnp.ndarray] = None   # (D, NL, K3)
+    # MTK NPT barostat (replicated): [v_eps, xi(3), vxi(3), eps_log],
+    # isotropic cell scale s (physical cell = s * cell0), and the virial
+    # pressure from the last force evaluation (needed by the next
+    # half-step's piston update)
+    baro: Optional[jnp.ndarray] = None        # (D, 8)
+    cell_scale: Optional[jnp.ndarray] = None  # (D,)
+    p_virial: Optional[jnp.ndarray] = None    # (D,)
 
 
 def _pack(mask, cap, fill_idx=0):
@@ -147,9 +162,15 @@ def _nhc_half_global(v, thermo, dt, temperature, tau, ndof, global_ke):
 class DistributedMDEngine:
     """Brick-decomposed MD engine over a 1-3 axis mesh.
 
-    Requires an orthogonal cell. ``axes`` maps mesh axes (in
-    ``mesh.axis_names`` order) to cell axes; by default the longest cell
-    axes are used. For a 1-D mesh the legacy ``axis`` argument is honored.
+    Cells may be triclinic (fractional-space prism bricks). ``axes`` maps
+    mesh axes (in ``mesh.axis_names`` order) to cell axes; by default the
+    cell axes with the largest perpendicular plane spacings are used. For
+    a 1-D mesh the legacy ``axis`` argument is honored. Optional ``d3``
+    enables Grimme D3 dispersion under decomposition (a second local NL;
+    ghost coordination numbers ride the halo exchange), and
+    ``integrator="npt"`` in :meth:`run` drives an isotropic MTK barostat
+    (pass ``scale_budget`` < 1 to pre-size halos/grids for the smallest
+    cell scale the run may reach).
     """
 
     def __init__(
@@ -166,12 +187,18 @@ class DistributedMDEngine:
         migrate_cap: Optional[int] = None,
         matmul_precision: str = "highest",
         fused: Optional[bool] = None,
+        d3: Optional[dict] = None,
+        scale_budget: float = 1.0,
     ):
         cell = np.asarray(cell, np.float64).reshape(3, 3)
-        offdiag = cell - np.diag(np.diag(cell))
-        assert np.abs(offdiag).max() < 1e-9, (
-            "DistributedMDEngine requires an orthogonal cell"
-        )
+        # NPT headroom: the smallest isotropic cell scale s the run may
+        # reach (physical cell = s * cell0). Halo bands, brick-width
+        # asserts, and the local cell-list grid are sized for s_min so the
+        # static decomposition stays valid while the MTK piston breathes;
+        # the rebuild flags overflow if s ever drops below it. Pass e.g.
+        # 0.9 when running ``integrator="npt"``.
+        self.s_min = float(min(scale_budget, 1.0))
+        assert self.s_min > 0.5, "scale_budget must be in (0.5, 1]"
         self.spec = dataclasses.replace(spec, edge_dense_k=0, conv_fused=False)
         if fused is None:
             env = os.environ.get("SEVENNET_TPU_FUSED")
@@ -197,26 +224,100 @@ class DistributedMDEngine:
         self.skin = float(skin)
         self.rc = float(spec.cutoff) + self.skin
         self.precision = matmul_precision
-        lengths = np.diag(cell)
+        # optional D3 dispersion under decomposition (the reference runs
+        # pair d3 alongside the parallel pair style, pair_d3.cu under
+        # LAMMPS domain decomposition): a second, longer-ranged local NL;
+        # the ghost halo must widen to the D3 cutoff and coordination
+        # numbers of ghosts ship over the halo exchange
+        self.d3_params = None
+        if d3:
+            from ..d3 import D3Params, bounded_cutoff
+
+            p = D3Params.from_functional(
+                d3.get("functional", "pbe"),
+                d3.get("damping", d3.get("damping_type", "damp_bj")),
+            )
+            cut = d3.get("cutoff") or bounded_cutoff(p, cell, True)
+            inv0 = np.linalg.inv(cell)
+            heights0 = 1.0 / np.linalg.norm(inv0, axis=0)
+            cut = min(cut, float(heights0.min()) - self.skin - 1e-6)
+            import dataclasses as _dc
+
+            self.d3_params = _dc.replace(
+                p, cutoff=cut, cn_cutoff=min(p.cn_cutoff, cut)
+            )
+        self.rc_ghost = self.rc
+        if self.d3_params is not None:
+            self.rc_ghost = max(
+                self.rc, float(self.d3_params.cutoff) + self.skin
+            )
+            z2t = np.asarray(spec.z_to_type)
+            t2z = np.zeros(spec.num_species, np.int32)
+            for z, t in enumerate(z2t):
+                if t >= 0:
+                    t2z[int(t)] = z
+            self.t2z = t2z
+        # fractional-space brick geometry (triclinic-ready, the CommBrick
+        # prism handling analogue, comm_brick.cpp:1057-1123): bricks are
+        # slabs in FRACTIONAL coordinate u_a; halo band widths convert the
+        # real-space cutoff through the perpendicular plane spacing h_a
+        inv_full = np.linalg.inv(cell)
+        heights_all = 1.0 / np.linalg.norm(inv_full, axis=0)  # per cell axis
         if axes is None:
             if axis is not None and self.n_stages == 1:
                 axes = (int(axis),)
             else:
                 axes = tuple(
-                    int(i) for i in np.argsort(-lengths)[: self.n_stages]
+                    int(i) for i in np.argsort(-heights_all)[: self.n_stages]
                 )
         self.axes: Tuple[int, ...] = tuple(int(a) for a in axes)
         assert len(self.axes) == self.n_stages
         assert len(set(self.axes)) == self.n_stages
-        self.L = tuple(float(lengths[a]) for a in self.axes)
-        self.w = tuple(
-            self.L[s] / self.dims[s] for s in range(self.n_stages)
+        self.inv_cols = tuple(
+            np.asarray(inv_full[:, a], np.float64) for a in self.axes
+        )  # grad of u_a wrt position
+        self.h = tuple(float(heights_all[a]) for a in self.axes)
+        # D3 cutoff must also fit the brick: ghosts only come from face
+        # neighbors, so the halo cannot exceed one brick width
+        if self.d3_params is not None:
+            wmin = min(
+                (self.h[s] / self.dims[s]
+                 for s in range(self.n_stages) if self.dims[s] > 1),
+                default=np.inf,
+            )
+            cut = float(self.d3_params.cutoff)
+            if cut + self.skin > wmin:
+                import dataclasses as _dc
+
+                cut = wmin - self.skin - 1e-6
+                assert cut > 2.0, (
+                    "brick too thin for any useful D3 cutoff"
+                )
+                self.d3_params = _dc.replace(
+                    self.d3_params, cutoff=cut,
+                    cn_cutoff=min(self.d3_params.cn_cutoff, cut),
+                )
+            self.rc_ghost = max(self.rc, float(self.d3_params.cutoff) + self.skin)
+        self.u_w = tuple(1.0 / self.dims[s] for s in range(self.n_stages))
+        # halo band width: the widest cutoff any physics needs (model or
+        # D3), at the smallest cell scale the NPT budget allows (fractional
+        # widths GROW as the cell shrinks)
+        self.u_rc = tuple(
+            self.rc_ghost / (self.h[s] * self.s_min)
+            for s in range(self.n_stages)
         )
+        self.w = tuple(
+            self.h[s] / self.dims[s] for s in range(self.n_stages)
+        )  # real perpendicular brick width (at s=1)
         for s in range(self.n_stages):
-            assert self.w[s] >= self.rc or self.dims[s] == 1, (
-                f"brick width {self.w[s]:.2f} along cell axis {self.axes[s]}"
-                f" < cutoff+skin {self.rc:.2f}: use fewer devices or a "
-                "bigger box"
+            assert (
+                self.w[s] * self.s_min >= self.rc_ghost
+                or self.dims[s] == 1
+            ), (
+                f"brick width {self.w[s] * self.s_min:.2f} (at the NPT "
+                f"scale budget) along cell axis {self.axes[s]}"
+                f" < halo width {self.rc_ghost:.2f}: use fewer devices, a "
+                "bigger box, or a smaller d3 cutoff"
             )
         self.axis = self.axes[0]  # legacy attribute
         self.local_cap = local_cap
@@ -275,25 +376,22 @@ class DistributedMDEngine:
                     dc = dc[::-1]
                     sel = np.ones(n, bool)
                     for t in range(s):
-                        at = self.axes[t]
-                        lo = dc[t] * self.w[t] - self.rc
-                        hi = (dc[t] + 1) * self.w[t] + self.rc
-                        c = pos[:, at]
-                        Lt = self.L[t]
+                        lo = dc[t] * self.u_w[t] - self.u_rc[t]
+                        hi = (dc[t] + 1) * self.u_w[t] + self.u_rc[t]
+                        u = frac[:, self.axes[t]]
                         inside = (
-                            ((c - lo) % Lt <= (hi - lo))
+                            ((u - lo) % 1.0 <= (hi - lo))
                             if self.dims[t] > 1 else np.ones(n, bool)
                         )
                         sel &= inside
                     if self.dims[s] == 1:
                         cnt = 0
                     else:
-                        c = pos[sel][:, a]
-                        lo_face = dc[s] * self.w[s]
-                        hi_face = (dc[s] + 1) * self.w[s]
-                        Ls = self.L[s]
-                        near_lo = (lo_face - c) % Ls <= self.rc
-                        near_hi = (c - hi_face) % Ls <= self.rc
+                        u = frac[sel][:, a]
+                        lo_face = dc[s] * self.u_w[s]
+                        hi_face = (dc[s] + 1) * self.u_w[s]
+                        near_lo = (lo_face - u) % 1.0 <= self.u_rc[s]
+                        near_hi = (u - hi_face) % 1.0 <= self.u_rc[s]
                         cnt = max(int(near_lo.sum()), int(near_hi.sum()))
                     best = max(best, cnt)
                 self.ghost_caps.append(
@@ -304,14 +402,28 @@ class DistributedMDEngine:
 
         if self.cl_spec is None:
             # local frame cell: brick + two halos + decoupling gap along
-            # every decomposed axis with >1 device
+            # every decomposed axis with >1 device. Triclinic-safe: the
+            # whole ROW (lattice vector) is scaled, so the local frame
+            # keeps the cell's shape (prism bricks, comm_brick.cpp prism
+            # handling analogue)
             fake = self.cell.copy()
+            # occupied-volume fraction of the fake cell: atoms live only in
+            # the brick + two halo bands — the decoupling gap is EMPTY, so
+            # the spec's uniform-density estimate would undersize the
+            # per-bin capacity (measured overflow with the wider D3 halo)
+            occ = 1.0
             for s, a in enumerate(self.axes):
                 if self.dims[s] > 1:
-                    fake[a, a] = self.w[s] + 2 * self.rc + 2.2 * self.rc
+                    f_a = self.u_w[s] + (2 + 2.2) * self.u_rc[s]
+                    fake[a] = self.cell[a] * f_a
+                    occ *= (self.u_w[s] + 2 * self.u_rc[s]) / f_a
             next_cap = NL + 2 * sum(self.ghost_caps)
+            n_eff = int(np.ceil(next_cap / occ))
+            # grid sized at the NPT budget's smallest cell (s_min): bin
+            # edges stay >= cutoff for every allowed scale, and the
+            # higher density oversizes per-bin capacity conservatively
             self.cl_spec = build_cell_list_spec(
-                fake, next_cap, self.spec.cutoff, self.skin
+                fake * self.s_min, n_eff, self.spec.cutoff, self.skin
             )
             # keep the full (N, K) slot grid (no edge compaction); the
             # fused kernels need K to be a multiple of 8 (lane tiling)
@@ -322,6 +434,14 @@ class DistributedMDEngine:
                 self.cl_spec, edge_cap=0, neighbor_capacity=kcap
             )
             self.fake_cell = fake
+            if self.d3_params is not None:
+                d3spec = build_cell_list_spec(
+                    fake * self.s_min, n_eff,
+                    float(self.d3_params.cutoff), self.skin,
+                )
+                self.d3_cl_spec = dataclasses.replace(d3spec, edge_cap=0)
+            else:
+                self.d3_cl_spec = None
 
         species = self.spec.z_to_type[np.asarray(atomic_numbers)]
         assert (species >= 0).all()
@@ -355,7 +475,16 @@ class DistributedMDEngine:
             msk[d, : len(sel)] = True
 
         K = self.cl_spec.neighbor_capacity
+        d3_fields = {}
+        if self.d3_params is not None:
+            K3 = self.d3_cl_spec.neighbor_capacity
+            d3_fields = dict(
+                d3_edge_src=jnp.zeros((D, A, K3), jnp.int32),
+                d3_edge_shift=jnp.zeros((D, A, K3, 3), jnp.float32),
+                d3_edge_mask=jnp.zeros((D, A, K3), bool),
+            )
         state = DistMDState(
+            **d3_fields,
             positions=jnp.asarray(P_),
             velocities=jnp.asarray(V),
             forces=jnp.zeros((D, A, 3), jnp.float32),
@@ -385,6 +514,9 @@ class DistributedMDEngine:
             step=jnp.asarray(0, jnp.int32),
             nl_overflow=jnp.asarray(False),
             potential_energy=jnp.asarray(0.0, jnp.float32),
+            baro=jnp.zeros((D, 8), jnp.float32),
+            cell_scale=jnp.ones((D,), jnp.float32),
+            p_virial=jnp.zeros((D,), jnp.float32),
         )
         state = self._jit("init")(self.params, state)
         return state
@@ -422,11 +554,13 @@ class DistributedMDEngine:
         gmh = jax.lax.ppermute(mlo, name, self._perm(s, up=False))
         return gml, gmh
 
-    def _staged_ext(self, arr_owned, comm, correct_axis_pos=False):
+    def _staged_ext(self, arr_owned, comm, correct_axis_pos=False,
+                    scale=1.0):
         """Extend a per-atom array with all ghost stages:
         [owned | g0lo | g0hi | g1lo | g1hi | ...]. With
         ``correct_axis_pos`` the stage-s axis coordinate gets the periodic
-        seam correction (positions only)."""
+        seam correction (positions only; ``scale`` is the instantaneous
+        NPT cell scale)."""
         ext = arr_owned
         dtype = arr_owned.dtype
         for s in range(self.n_stages):
@@ -435,42 +569,45 @@ class DistributedMDEngine:
                 comm["send_hi"][s], comm["mhi"][s],
             )
             if correct_axis_pos and self.dims[s] > 1:
+                # periodic seam: ghosts crossing the cell boundary shift by
+                # the full lattice VECTOR of the decomposed axis (triclinic)
                 d = jax.lax.axis_index(self.axis_names[s])
-                Lv = jnp.asarray(self.L[s], dtype)
-                a = self.axes[s]
-                corr_lo = jnp.where(d == 0, -Lv, 0.0)
-                corr_hi = jnp.where(d == self.dims[s] - 1, Lv, 0.0)
-                from_lo = from_lo.at[:, a].add(
+                row = jnp.asarray(self.cell[self.axes[s]], dtype) * scale
+                corr_lo = jnp.where(d == 0, -1.0, 0.0)
+                corr_hi = jnp.where(d == self.dims[s] - 1, 1.0, 0.0)
+                from_lo = from_lo + row[None, :] * (
                     corr_lo * comm["gmlo"][s].astype(dtype)
-                )
-                from_hi = from_hi.at[:, a].add(
+                )[:, None]
+                from_hi = from_hi + row[None, :] * (
                     corr_hi * comm["gmhi"][s].astype(dtype)
-                )
+                )[:, None]
             ext = jnp.concatenate([ext, from_lo, from_hi], axis=0)
         return ext
 
-    def _to_local_frame(self, pos):
+    def _to_local_frame(self, pos, scale=1.0):
+        """Shift into the device's local (fake-cell) frame: subtract
+        (origin_u - u_rc) lattice vectors along each decomposed axis."""
         out = pos
         for s, a in enumerate(self.axes):
             if self.dims[s] > 1:
                 d = jax.lax.axis_index(self.axis_names[s])
-                origin = d.astype(pos.dtype) * jnp.asarray(
-                    self.w[s], pos.dtype
-                )
-                out = out.at[:, a].add(-(origin - self.rc))
+                off_u = d.astype(pos.dtype) * jnp.asarray(
+                    self.u_w[s], pos.dtype
+                ) - jnp.asarray(self.u_rc[s], pos.dtype)
+                row = jnp.asarray(self.cell[a], pos.dtype) * scale
+                out = out - off_u * row[None, :]
         return out
 
     # ------------------------------------------------------------------
-    def _migrate_axis(self, s, pos, vel, spc, mass, amask):
+    def _migrate_axis(self, s, pos, vel, spc, mass, amask, scale=1.0):
         """One axis pass of migration; returns updated arrays + overflow."""
         dtype = pos.dtype
         NL = pos.shape[0]
         a = self.axes[s]
         Dv = self.dims[s]
-        wv = jnp.asarray(self.w[s], dtype)
         d = jax.lax.axis_index(self.axis_names[s])
-        coord = pos[:, a]
-        own = jnp.minimum((coord / wv).astype(jnp.int32), Dv - 1)
+        u = pos @ jnp.asarray(self.inv_cols[s], dtype) / scale
+        own = jnp.clip((u * Dv).astype(jnp.int32), 0, Dv - 1)
         rel = own - d
         stay = (rel == 0) & amask
         if Dv == 2:
@@ -567,19 +704,21 @@ class DistributedMDEngine:
         amask = sl["atom_mask"]
         dtype = pos.dtype
         NL = pos.shape[0]
+        scale = sl["cell_scale"].astype(dtype)
 
-        # ---- wrap ----
+        # ---- wrap (fractional coords are scale-invariant) ----
         inv = jnp.asarray(np.linalg.inv(self.cell), dtype)
-        frac = pos @ inv
+        frac = pos @ inv / scale
         frac = frac - jnp.floor(frac)
-        pos = frac @ jnp.asarray(self.cell, dtype)
+        pos = frac @ jnp.asarray(self.cell, dtype) * scale
 
         # ---- migration: one pass per decomposed axis (diagonal moves
         # complete across the sequential passes) ----
-        ofl = jnp.asarray(False)
+        # the static band widths/grid were sized for scale >= s_min
+        ofl = scale < jnp.asarray(self.s_min, dtype)
         for s in range(self.n_stages):
             pos, vel, spc, mass, amask, o = self._migrate_axis(
-                s, pos, vel, spc, mass, amask
+                s, pos, vel, spc, mass, amask, scale
             )
             ofl = ofl | o
 
@@ -597,13 +736,14 @@ class DistributedMDEngine:
         for s in range(self.n_stages):
             a = self.axes[s]
             d = jax.lax.axis_index(self.axis_names[s])
-            wv = jnp.asarray(self.w[s], dtype)
-            origin = d.astype(dtype) * wv
-            c = ext_pos[:, a]
+            u_w = jnp.asarray(self.u_w[s], dtype)
+            u_rc = jnp.asarray(self.u_rc[s], dtype)
+            origin = d.astype(dtype) * u_w
+            u = ext_pos @ jnp.asarray(self.inv_cols[s], dtype) / scale
             cap = self.ghost_caps[s]
             if self.dims[s] > 1:
-                band_lo = ext_mask & (c < origin + self.rc)
-                band_hi = ext_mask & (c >= origin + wv - self.rc)
+                band_lo = ext_mask & (u < origin + u_rc)
+                band_hi = ext_mask & (u >= origin + u_w - u_rc)
             else:
                 band_lo = jnp.zeros_like(ext_mask)
                 band_hi = jnp.zeros_like(ext_mask)
@@ -622,33 +762,55 @@ class DistributedMDEngine:
                 s, ext_pos, slo, vlo, shi, vhi
             )
             if self.dims[s] > 1:
-                Lv = jnp.asarray(self.L[s], dtype)
-                corr_lo = jnp.where(d == 0, -Lv, 0.0)
-                corr_hi = jnp.where(d == self.dims[s] - 1, Lv, 0.0)
-                from_lo = from_lo.at[:, a].add(corr_lo * gl.astype(dtype))
-                from_hi = from_hi.at[:, a].add(corr_hi * gh.astype(dtype))
+                row = jnp.asarray(self.cell[a], dtype) * scale
+                corr_lo = jnp.where(d == 0, -1.0, 0.0)
+                corr_hi = jnp.where(d == self.dims[s] - 1, 1.0, 0.0)
+                from_lo = from_lo + row[None, :] * (
+                    corr_lo * gl.astype(dtype)
+                )[:, None]
+                from_hi = from_hi + row[None, :] * (
+                    corr_hi * gh.astype(dtype)
+                )[:, None]
             ext_pos = jnp.concatenate([ext_pos, from_lo, from_hi], axis=0)
             ext_mask = jnp.concatenate([ext_mask, gl, gh], axis=0)
 
         # ---- local NL over the extended set ----
-        loc = self._to_local_frame(ext_pos)
+        loc = self._to_local_frame(ext_pos, scale)
         src, dst, shift, emask, ofl_nl, _ = rebuild_neighbors(
-            self.cl_spec, loc, jnp.asarray(self.fake_cell, dtype), ext_mask
+            self.cl_spec, loc,
+            jnp.asarray(self.fake_cell, dtype) * scale, ext_mask,
         )
         K = self.cl_spec.neighbor_capacity
         Next = ext_pos.shape[0]
         src = src.reshape(Next, K)[:NL]
         shift = shift.reshape(Next, K, 3)[:NL]
         emask = emask.reshape(Next, K)[:NL]
-        # any owned edge wrapping a decomposed axis means the gap failed
-        ofl_gap = jnp.asarray(False)
-        for s, a in enumerate(self.axes):
-            if self.dims[s] > 1:
-                ofl_gap = ofl_gap | jnp.any(
-                    (jnp.abs(shift[..., a]) > 0.5) & emask
-                )
+
+        def gap_check(shift_a, emask_a):
+            # any owned edge wrapping a decomposed axis: the gap failed
+            g = jnp.asarray(False)
+            for s, a in enumerate(self.axes):
+                if self.dims[s] > 1:
+                    g = g | jnp.any(
+                        (jnp.abs(shift_a[..., a]) > 0.5) & emask_a
+                    )
+            return g
+
+        ofl_gap = gap_check(shift, emask)
 
         sl = dict(sl)
+        if self.d3_params is not None:
+            s3, _, sh3, m3, ofl3, _ = rebuild_neighbors(
+                self.d3_cl_spec, loc,
+                jnp.asarray(self.fake_cell, dtype) * scale, ext_mask,
+            )
+            K3 = self.d3_cl_spec.neighbor_capacity
+            s3 = s3.reshape(Next, K3)[:NL]
+            sh3 = sh3.reshape(Next, K3, 3)[:NL]
+            m3 = m3.reshape(Next, K3)[:NL]
+            ofl_gap = ofl_gap | gap_check(sh3, m3)
+            ofl_nl = ofl_nl | ofl3
+            sl.update(d3_edge_src=s3, d3_edge_shift=sh3, d3_edge_mask=m3)
         sl.update(
             positions=pos, velocities=vel, species=spc, masses=mass,
             atom_mask=amask,
@@ -668,9 +830,10 @@ class DistributedMDEngine:
             gl, gh = self._ghost_masks_stage(s, sl["mlo"][s], sl["mhi"][s])
             gmlo.append(gl)
             gmhi.append(gh)
-        return {
+        comm = {
             "atom_mask": sl["atom_mask"],
             "species": sl["species"],
+            "cell_scale": sl["cell_scale"],
             "send_lo": sl["send_lo"], "mlo": sl["mlo"],
             "send_hi": sl["send_hi"], "mhi": sl["mhi"],
             "gmlo": tuple(gmlo), "gmhi": tuple(gmhi),
@@ -678,6 +841,13 @@ class DistributedMDEngine:
             "edge_shift": sl["edge_shift"],
             "edge_mask": sl["edge_mask"],
         }
+        if self.d3_params is not None:
+            comm.update(
+                d3_edge_src=sl["d3_edge_src"],
+                d3_edge_shift=sl["d3_edge_shift"],
+                d3_edge_mask=sl["d3_edge_mask"],
+            )
+        return comm
 
     def _local_energy(self, params, comm, pos, eps):
         """Per-device atomic energy with per-layer staged feature halos."""
@@ -691,8 +861,11 @@ class DistributedMDEngine:
         dst = jnp.repeat(jnp.arange(NL, dtype=jnp.int32), K)
         shift = comm["edge_shift"].reshape(-1, 3)
 
-        ext_pos = self._staged_ext(pos, comm, correct_axis_pos=True)
-        cell = jnp.asarray(self.cell, dtype)
+        scale = comm["cell_scale"].astype(dtype)
+        ext_pos = self._staged_ext(
+            pos, comm, correct_axis_pos=True, scale=scale
+        )
+        cell = jnp.asarray(self.cell, dtype) * scale
         ev = ext_pos[src] - pos[dst] + shift @ cell
         ev = ev + ev @ eps
         ev = jnp.where(emask[:, None], ev, jnp.array([1.0, 0.0, 0.0], dtype))
@@ -770,21 +943,74 @@ class DistributedMDEngine:
         else:
             shift_v = rs["shift"][0]
             scale_v = rs["scale"][0]
-        return (e_scaled * scale_v + shift_v) * amask
+        e_at = (e_scaled * scale_v + shift_v) * amask
+        if self.d3_params is not None:
+            e_at = e_at + self._d3_local_energy(comm, pos, ext_pos, eps)
+        return e_at
+
+    def _d3_local_energy(self, comm, pos, ext_pos, eps):
+        """D3 dispersion energy attributed to owned receivers.
+
+        The reference runs ``pair d3`` alongside the parallel pair style
+        under LAMMPS domain decomposition (``pair_d3.cu``), getting ghost
+        coordination numbers from LAMMPS ghost communication. Here: CN is
+        computed exactly for OWNED atoms over the (NL, K3) local D3
+        neighbor list (complete, since the halo spans the D3 cutoff), then
+        ghost CN values ride the staged ppermute halo; the pair energies
+        carry the 1/2 double-count factor so summing owned receivers over
+        all devices is exact. Fully differentiable — the CN exchange's
+        ppermute transpose routes the dC6/dCN force contribution back to
+        the ghost owners (``kernel_get_dC6_dCNij``, ``pair_d3.cu:796``).
+        """
+        from .. import d3 as d3mod
+
+        p3 = self.d3_params
+        dtype = pos.dtype
+        NL = pos.shape[0]
+        K3 = self.d3_cl_spec.neighbor_capacity
+        src3 = comm["d3_edge_src"].reshape(-1)
+        dst3 = jnp.repeat(jnp.arange(NL, dtype=jnp.int32), K3)
+        m3 = comm["d3_edge_mask"].reshape(-1)
+        sh3 = comm["d3_edge_shift"].reshape(-1, 3)
+        cell = jnp.asarray(self.cell, dtype) * comm["cell_scale"].astype(dtype)
+        ev = ext_pos[src3] - pos[dst3] + sh3 @ cell
+        ev = ev + ev @ eps
+        em = m3.astype(dtype)
+        r_ang = jnp.linalg.norm(
+            jnp.where(m3[:, None], ev, jnp.array([1.0, 0.0, 0.0], dtype)),
+            axis=-1,
+        )
+        z_own = jnp.asarray(self.t2z)[comm["species"]]  # (NL,) atomic numbers
+        z_own = jnp.where(comm["atom_mask"], z_own, 0)
+        z_ext = self._staged_ext(z_own[:, None].astype(dtype), comm)[:, 0]
+        zi = jnp.clip(z_own, 0, 94)[dst3]
+        zj = jnp.clip(z_ext.astype(jnp.int32), 0, 94)[src3]
+        cn_own = d3mod.d3_cn(p3, zi, zj, r_ang, em, dst3, NL)
+        cn_ext = self._staged_ext(cn_own[:, None], comm)[:, 0]
+        e_pair = d3mod.d3_pair_energy(
+            p3, zi, zj, r_ang, em, cn_own[dst3], cn_ext[src3]
+        )
+        e_at = jax.ops.segment_sum(
+            e_pair, dst3, num_segments=NL, indices_are_sorted=True
+        )
+        return e_at * d3mod.AU_TO_EV * comm["atom_mask"].astype(dtype)
 
     # ------------------------------------------------------------------
     # jitted drivers
     # ------------------------------------------------------------------
     def _state_fields(self):
-        return [
+        base = [
             "positions", "velocities", "forces", "species", "masses",
             "atom_mask", "send_lo", "mlo", "send_hi", "mhi",
             "edge_src", "edge_shift", "edge_mask", "nl_positions",
-            "rng", "thermo",
+            "rng", "thermo", "baro", "cell_scale", "p_virial",
         ]
+        if self.d3_params is not None:
+            base += ["d3_edge_src", "d3_edge_shift", "d3_edge_mask"]
+        return base
 
     def _split(self, state: DistMDState):
-        return {
+        out = {
             "positions": state.positions,
             "velocities": state.velocities,
             "forces": state.forces,
@@ -801,10 +1027,20 @@ class DistributedMDEngine:
             "nl_positions": state.nl_positions,
             "rng": state.rng,
             "thermo": state.thermo,
+            "baro": state.baro,
+            "cell_scale": state.cell_scale,
+            "p_virial": state.p_virial,
         }
+        if self.d3_params is not None:
+            out.update(
+                d3_edge_src=state.d3_edge_src,
+                d3_edge_shift=state.d3_edge_shift,
+                d3_edge_mask=state.d3_edge_mask,
+            )
+        return out
 
     def _merge(self, state: DistMDState, stack) -> DistMDState:
-        return state.replace(
+        upd = dict(
             positions=stack["positions"], velocities=stack["velocities"],
             forces=stack["forces"], species=stack["species"],
             masses=stack["masses"], atom_mask=stack["atom_mask"],
@@ -813,7 +1049,16 @@ class DistributedMDEngine:
             edge_src=stack["edge_src"], edge_shift=stack["edge_shift"],
             edge_mask=stack["edge_mask"], nl_positions=stack["nl_positions"],
             rng=stack["rng"], thermo=stack["thermo"],
+            baro=stack["baro"], cell_scale=stack["cell_scale"],
+            p_virial=stack["p_virial"],
         )
+        if self.d3_params is not None:
+            upd.update(
+                d3_edge_src=stack["d3_edge_src"],
+                d3_edge_shift=stack["d3_edge_shift"],
+                d3_edge_mask=stack["d3_edge_mask"],
+            )
+        return state.replace(**upd)
 
     def _psum_all(self, x):
         return jax.lax.psum(x, self.axis_names)
@@ -848,6 +1093,35 @@ class DistributedMDEngine:
             e = self._psum_all(e_loc)
             forces = -g * sl["atom_mask"][:, None].astype(g.dtype)
             return e, forces
+
+        det0 = float(abs(np.linalg.det(self.cell)))
+
+        def energy_forces_virial(params, sl):
+            """Like ``energy_forces`` but also differentiates a symmetric
+            strain probe to get the global virial pressure (needed every
+            step by the MTK piston; the eps gradient is purely local —
+            edge vectors are domain-local — so a psum sums per-device
+            virials exactly, like the reference's per-rank LAMMPS virial
+            tallies, ``pair_e3gnn_parallel.cpp:482-506``)."""
+            comm = self._comm_from_state(sl)
+
+            def etot(p, eps):
+                with jax.default_matmul_precision(self.precision):
+                    e = self._local_energy(params, comm, p, eps)
+                return jnp.sum(e)
+
+            eps0 = jnp.zeros((3, 3), sl["positions"].dtype)
+            e_loc, (gp, geps) = jax.value_and_grad(etot, argnums=(0, 1))(
+                sl["positions"], eps0
+            )
+            e = self._psum_all(e_loc)
+            geps = self._psum_all(geps)
+            forces = -gp * sl["atom_mask"][:, None].astype(gp.dtype)
+            vol = det0 * sl["cell_scale"].astype(gp.dtype) ** 3
+            # model convention: P_virial = +trace(stress)/3 with
+            # stress = -geps/vol (see md/state.MDState.pressure)
+            p_vir = -(geps[0, 0] + geps[1, 1] + geps[2, 2]) / (3.0 * vol)
+            return e, forces, p_vir
 
         def rebuild(sl):
             return self._rebuild_local(sl)
@@ -895,7 +1169,76 @@ class DistributedMDEngine:
                     ndof, global_ke,
                 )
 
-            if integrator == "langevin":
+            if integrator in ("npt", "npt_mtk", "npt_nose_hoover"):
+                # MTK isotropic NPT with a REPLICATED barostat: every
+                # device runs the same piston/chain math on psum'd global
+                # KE and virial pressure, so the (8,) baro vector and the
+                # scalar cell scale stay bitwise identical across the mesh
+                # (the distributed analogue of LAMMPS `fix npt` driving
+                # the parallel pair style; serial twin: mtk_npt_step,
+                # md/integrators.py)
+                temperature = kw["temperature"]
+                pressure = kw.get("pressure", 0.0)
+                tau_t = kw.get("tau_t", 100.0)
+                tau_p = kw.get("tau_p", 1000.0)
+                kT = KB_EV * temperature
+                W = (ndof + 3.0) * kT * tau_p * tau_p
+                alpha = 1.0 + 3.0 / ndof
+                dt2, dt4 = dt / 2.0, dt / 4.0
+
+                def veps_half(v, baro, p_vir, s):
+                    ke2 = 2.0 * global_ke(v)
+                    vol = det0 * s ** 3
+                    p_int = p_vir + ke2 / (3.0 * vol)
+                    G = (
+                        3.0 * vol * (p_int - pressure)
+                        + (3.0 / ndof) * ke2
+                    ) / W
+                    return baro.at[0].add(dt2 * G)
+
+                def kick(v, baro, forces):
+                    vf = jnp.exp(-dt2 * alpha * baro[0])
+                    sf = jnp.exp(-dt4 * alpha * baro[0]) * _sinhc(
+                        dt4 * alpha * baro[0]
+                    )
+                    a = (
+                        forces / sl["masses"][:, None]
+                        * EV_A_AMU_TO_A_FS2 * mask
+                    )
+                    return (v * vf + dt2 * a * sf) * mask
+
+                baro = _nhc_baro_half(sl["baro"], dt, temperature, tau_p, W)
+                v, thermo = _nhc_half_global(
+                    sl["velocities"], sl["thermo"], dt, temperature, tau_t,
+                    ndof, global_ke,
+                )
+                sl["thermo"] = thermo
+                baro = veps_half(v, baro, sl["p_virial"], sl["cell_scale"])
+                v = kick(v, baro, sl["forces"])
+
+                # full-step position/cell drift under the piston
+                v_eps = baro[0]
+                ef = jnp.exp(dt * v_eps)
+                rf = jnp.exp(dt2 * v_eps) * _sinhc(dt2 * v_eps)
+                x = sl["positions"] * ef + dt * v * rf
+                sl["positions"] = jnp.where(mask, x, sl["positions"])
+                sl["nl_positions"] = sl["nl_positions"] * ef
+                sl["cell_scale"] = sl["cell_scale"] * ef
+                baro = baro.at[7].add(dt * v_eps)
+
+                e, forces, p_vir = energy_forces_virial(params, sl)
+                sl["forces"] = forces
+                sl["p_virial"] = p_vir
+
+                v = kick(v, baro, forces)
+                baro = veps_half(v, baro, p_vir, sl["cell_scale"])
+                v, thermo = _nhc_half_global(
+                    v, sl["thermo"], dt, temperature, tau_t, ndof, global_ke
+                )
+                sl["velocities"] = v
+                sl["thermo"] = thermo
+                sl["baro"] = _nhc_baro_half(baro, dt, temperature, tau_p, W)
+            elif integrator == "langevin":
                 # BAOAB with per-device noise streams
                 temperature = kw["temperature"]
                 friction = kw.get("friction", 0.01)
@@ -1006,8 +1349,9 @@ class DistributedMDEngine:
             def body(params, stack):
                 sl = local_of(stack)
                 sl, ofl = rebuild(sl)
-                e, forces = energy_forces(params, sl)
+                e, forces, p_vir = energy_forces_virial(params, sl)
                 sl["forces"] = forces
+                sl["p_virial"] = p_vir
                 return stackify(sl), scalarify(e), scalarify(ofl)
 
             sm = shard_map(
@@ -1085,9 +1429,13 @@ class DistributedMDEngine:
     def run(self, state: DistMDState, n_steps: int, dt: float = 1.0,
             chunk: int = 10, integrator: str = "nve", **kw):
         """Distributed MD: ``integrator`` in nve | langevin |
-        nose_hoover/nvt (pass ``temperature``, optional ``friction`` /
-        ``tau``); the Nose-Hoover chain thermostats the GLOBAL kinetic
-        energy, Langevin uses independent per-device noise streams."""
+        nose_hoover/nvt | npt (pass ``temperature``, optional ``friction``
+        / ``tau`` / ``pressure`` / ``tau_t`` / ``tau_p``); the Nose-Hoover
+        chain thermostats the GLOBAL kinetic energy, Langevin uses
+        independent per-device noise streams, and npt runs the isotropic
+        MTK barostat with a replicated piston on psum'd KE/virial
+        (construct the engine with ``scale_budget`` < 1 to budget halo
+        geometry for cell shrinkage)."""
         pes, kes = [], []
         for length in [chunk] * (n_steps // chunk) + (
             [n_steps % chunk] if n_steps % chunk else []
