@@ -209,6 +209,7 @@ class GraphDataset:
         drop_last: bool = False,
         lazy: bool = False,
         dense_k: int = 0,
+        with_mirror: bool = False,
     ) -> Iterator[GraphBatch]:
         """Yield padded batches. Capacities are rounded up to multiples so
         similar batches share compiled programs. With ``lazy=True``, graphs
@@ -247,6 +248,7 @@ class GraphDataset:
                 n_edges_cap=rup(n_ed + 1),
                 n_graphs_cap=batch_size + 1,
                 dense_k=dense_k,
+                with_mirror=with_mirror,
             )
 
     def max_neighbors(self) -> int:

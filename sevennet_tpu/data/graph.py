@@ -189,12 +189,16 @@ def batch_graphs(
     n_graphs_cap: Optional[int] = None,
     dtype=np.float32,
     dense_k: int = 0,
+    with_mirror: bool = False,
 ) -> GraphBatch:
     """Concatenate single graphs into one padded batch (host-side).
 
     ``dense_k > 0`` emits edges in the dense (N, K) slot layout (row-major
     by receiver) that the fused/dense convolution consumes
     (``ModelSpec.edge_dense_k``); the flat segment-sum path also accepts it.
+    ``with_mirror`` additionally computes the mirror-edge permutation the
+    fused Pallas conv's backward needs (``ops/fused_conv.mirror_map``) —
+    required when training/inference runs with ``spec.conv_fused``.
     """
     gs = [jnp_to_np(g) for g in graphs]
     n_tot = sum(g["positions"].shape[0] for g in gs)
@@ -236,6 +240,7 @@ def batch_graphs(
     atom_mask = _pad_to(np.ones((n_tot,), bool), n_cap, fill=False)
     batch = _pad_to(cat(bat).astype(np.int32), n_cap, fill=g_cap - 1)
     forces = _pad_to(cat(f).astype(dtype), n_cap)
+    edge_mir = None
     if dense_k > 0:
         edge_src, edge_dst, edge_shift, edge_mask = densify_edges(
             cat(esrc).astype(np.int32),
@@ -246,6 +251,14 @@ def batch_graphs(
             dense_k,
             dtype,
         )
+        if with_mirror:
+            from ..ops.fused_conv import mirror_map_numpy
+
+            edge_mir = mirror_map_numpy(
+                edge_src.reshape(n_cap, dense_k),
+                edge_shift.reshape(n_cap, dense_k, 3),
+                edge_mask.reshape(n_cap, dense_k),
+            ).reshape(-1)
     else:
         edge_src = _pad_to(cat(esrc).astype(np.int32), e_cap)
         # pad receivers with the LAST atom slot to keep edge_dst sorted
@@ -279,6 +292,7 @@ def batch_graphs(
         stress=jnp.asarray(stress),
         modal=jnp.asarray(modal),
         data_weight=jnp.asarray(data_weight),
+        edge_mir=None if edge_mir is None else jnp.asarray(edge_mir),
     )
 
 

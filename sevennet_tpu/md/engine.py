@@ -67,7 +67,7 @@ class MDEngine:
         fused: Optional[bool] = None,
         param_grads_in_fused: bool = False,
         d3: Optional[dict] = None,
-        sort_atoms: bool = False,
+        sort_atoms: Optional[bool] = None,
     ):
         """``dense=True`` keeps the cell list's (N, K) slot layout and runs
         the dense-neighbor convolution; ``fused`` additionally switches to
@@ -101,10 +101,14 @@ class MDEngine:
         self.fused = bool(fused) and dense
         self._fused_param_grads = bool(param_grads_in_fused)
         self.k_model: Optional[int] = None  # truncated conv slot width
-        # spatial sort at rebuilds: reorder atoms by cell id so neighbor
-        # gathers hit nearby HBM rows (experimental; state.atom_index
-        # tracks identity and trajectory dumps unpermute)
-        self.sort_atoms = bool(sort_atoms)
+        # spatial sort at rebuilds: reorder atoms by cell id so every
+        # edge's mirror lands within one row chunk (the ring-buffer
+        # backward's contract; state.atom_index tracks identity and
+        # trajectory dumps unpermute). None = auto: on when the ring
+        # chunked path engages (100k-scale systems).
+        self.sort_atoms = sort_atoms if sort_atoms is None else bool(sort_atoms)
+        self.row_chunk = 0   # ring chunk size (atoms); 0 = ring off
+        self._ring_nb = 0    # number of ring chunks
         self.d3_params = None
         self.d3_cl_spec: Optional[CellListSpec] = None
         if d3:
@@ -189,9 +193,17 @@ class MDEngine:
                     self.cl_spec, neighbor_capacity=k_model
                 )
             self.k_model = min(k_model, self.cl_spec.neighbor_capacity)
+            if self.fused:
+                n_atoms_cap = self._size_ring(n_atoms_cap, A)
+            edge_chunk = (
+                self.row_chunk * self.k_model
+                if self._ring_nb else self.spec.edge_chunk
+            )
             if (
                 self.spec.edge_dense_k != self.k_model
                 or self.spec.conv_fused != self.fused
+                or self.spec.conv_ring != bool(self._ring_nb)
+                or self.spec.edge_chunk != edge_chunk
             ):
                 # edge_chunk is reused by the dense path as the atom-block
                 # streaming granularity (chunk // K atoms per block)
@@ -200,7 +212,11 @@ class MDEngine:
                     edge_dense_k=self.k_model,
                     conv_fused=self.fused,
                     conv_param_grads=self._fused_param_grads,
+                    conv_ring=bool(self._ring_nb),
+                    edge_chunk=edge_chunk,
                 )
+        if self.sort_atoms is None:
+            self.sort_atoms = False
         d3_edges_cap = 0
         if self.d3_params is not None:
             if self.d3_cl_spec is None:
@@ -246,6 +262,37 @@ class MDEngine:
         )
 
     # -- internals -----------------------------------------------------------
+    def _size_ring(self, n_cap: int, A: int) -> int:
+        """Size the ring-buffer backward's row chunk (``fused_conv`` ring
+        path): cell-sorted rows put every mirror within ~one x-layer of
+        cells, so the chunk must cover one layer (plus margin). Returns the
+        (possibly enlarged) atom capacity ``nb * RC``; leaves the ring off
+        (``row_chunk = 0``) when chunking is not engaged, the user opted
+        out of sorting, or the geometry leaves < 3 chunks."""
+        self.row_chunk = 0
+        self._ring_nb = 0
+        if not self.spec.edge_chunk or self.sort_atoms is False:
+            return n_cap
+        from ..ops.fused_conv import chunk_threshold
+
+        dim_x_max = max(l.conv.irreps_x.dim for l in self.spec.layers)
+        if n_cap * self.k_model * dim_x_max * 4 <= chunk_threshold():
+            return n_cap  # unchunked mirror backward is used below this
+        ncx = self.cl_spec.n_cells[0]
+        window = int(np.ceil(self._ring_margin * n_cap / max(ncx, 1)))
+        rc0 = max(self.spec.edge_chunk // self.k_model, window, A)
+        nb = n_cap // rc0
+        if nb < 3:
+            return n_cap  # too few chunks: fall back to scatter-add
+        RC = -(-(-(-n_cap // nb)) // A) * A  # ceil(n_cap/nb) to A multiple
+        self.row_chunk = RC
+        self._ring_nb = nb
+        if self.sort_atoms is None:
+            self.sort_atoms = True
+        return nb * RC
+
+    _ring_margin = 1.35  # row-window slack over one x-layer of cells
+
     def _rebuild(self, state: MDState) -> MDState:
         if self.sort_atoms:
             state = self._sort_state(state)
@@ -263,10 +310,23 @@ class MDEngine:
 
             K = self.k_model if self.dense else self.cl_spec.neighbor_capacity
             n = state.n_atoms_cap
-            edge_mir = mirror_map(
+            mir2d = mirror_map(
                 src.reshape(n, K), shift.reshape(n, K, 3),
                 mask.reshape(n, K),
-            ).reshape(-1)
+            )
+            if self._ring_nb:
+                # ring-backward contract: every edge's mirror row must lie
+                # within one chunk of its own row, circularly (PBC wraps
+                # the first/last cell layers). Violations (density drift,
+                # undersized chunk) flag overflow -> snapshot retry grows
+                # the chunk.
+                RC, nb = self.row_chunk, self._ring_nb
+                c_i = (jnp.arange(n, dtype=jnp.int32) // RC)[:, None]
+                c_j = (mir2d // K) // RC
+                d = jnp.mod(c_j - c_i, nb)
+                bad = jnp.any(mask.reshape(n, K) & (d > 1) & (d != nb - 1))
+                overflow = overflow | bad
+            edge_mir = mir2d.reshape(-1)
         # NPT can shrink the box: grid cells must stay >= cutoff+skin
         inv = jnp.linalg.inv(state.cell)
         heights = 1.0 / jnp.linalg.norm(inv.T, axis=1)
@@ -555,6 +615,24 @@ class MDEngine:
 
             A = fused_conv_block_atoms(self.k_model)
             n_atoms_cap = -(-n_real // A) * A
+            if self._ring_nb:
+                # overflow may have been a ring-window violation: widen the
+                # row-chunk margin along with the other capacities
+                self._ring_margin = self._ring_margin * factor
+            n_atoms_cap = self._size_ring(n_atoms_cap, A)
+            edge_chunk = (
+                self.row_chunk * self.k_model
+                if self._ring_nb else self.spec.edge_chunk
+            )
+            if (
+                self.spec.conv_ring != bool(self._ring_nb)
+                or self.spec.edge_chunk != edge_chunk
+            ):
+                self.spec = dataclasses.replace(
+                    self.spec,
+                    conv_ring=bool(self._ring_nb),
+                    edge_chunk=edge_chunk,
+                )
         pos = np.asarray(state.positions)[:n_real]
         vel = np.asarray(state.velocities)[:n_real]
         species = np.asarray(state.species)[:n_real]

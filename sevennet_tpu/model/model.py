@@ -83,7 +83,7 @@ def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src,
     conv = layer.conv
 
     if spec.conv_fused:
-        from ..ops.fused_conv import fused_conv_apply
+        from ..ops.fused_conv import chunk_threshold, fused_conv_apply
 
         assert edge_mir is not None, (
             "spec.conv_fused requires graph.edge_mir (mirror_map)"
@@ -104,9 +104,10 @@ def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src,
             row_chunk=(
                 (spec.edge_chunk // K)
                 if spec.edge_chunk
-                and n_atoms * K * conv.irreps_x.dim * 4 > 3_000_000_000
+                and n_atoms * K * conv.irreps_x.dim * 4 > chunk_threshold()
                 else 0
             ),
+            ring=spec.conv_ring,
         )
 
     if spec.conv_custom_vjp:

@@ -74,6 +74,17 @@ _DOT = dict(
 _VMEM_LIMIT = 110 * 1024 * 1024
 
 
+def chunk_threshold() -> int:
+    """Gathered-edge-tensor size (bytes) above which the conv streams in
+    row chunks (scatter-add or ring backward) instead of the unchunked
+    mirror path. Env-overridable for tests and tuning."""
+    import os
+
+    return int(
+        os.environ.get("SEVENNET_TPU_CHUNK_THRESHOLD", 3_000_000_000)
+    )
+
+
 def _auto_interpret(flag):
     """Pallas interpret mode when not on TPU (CPU tests)."""
     if flag is not None:
@@ -803,6 +814,54 @@ def make_fused_conv_bwd2(
 _KERNEL_CACHE: Dict = {}
 
 
+def _make_bwd_op(conv, mlp_spec, A_b, K, param_grads, bwd_kernel):
+    """Wrap the Pallas backward kernel in its OWN custom_vjp so the conv's
+    backward rule is itself differentiable — the VJP-of-VJP the force-loss
+    grad-of-grad needs in training (the reference gets this from torch
+    autograd over cuEq/FlashTP kernels, ``sevenn/nn/cue_helper.py:53-124``).
+    The second-order rule differentiates an XLA reference implementation of
+    the same pullback (``jax.vjp`` over the dense TP forward), which the
+    fused-vs-XLA equivalence tests pin to the kernel to ~1e-6."""
+    from .dense_conv import _tp_forward_block
+    from .mlp import scalar_mlp_apply
+
+    def ref(mlp_ws, xg, emb_km, sh_km, ybar):
+        N = ybar.shape[0]
+
+        def f(ws, xg_f, emb_f, sh_f):
+            xg_nk = from_k_major(xg_f, N, K, A_b)
+            emb_nk = from_k_major(emb_f, N, K, A_b)
+            sh_nk = from_k_major(sh_f, N, K, A_b)
+            w = scalar_mlp_apply(mlp_spec, {"w": list(ws)}, emb_nk)
+            return _tp_forward_block(conv, xg_nk, sh_nk, w)
+
+        _, pull = jax.vjp(f, tuple(mlp_ws), xg, emb_km, sh_km)
+        dws, dxg, demb, dsh = pull(ybar)
+        # k-major flat outputs, same contract as the kernel
+        dxg = dxg.reshape(-1, conv.irreps_x.dim)
+        demb = demb.reshape(-1, mlp_spec.dims[0])
+        dsh = dsh.reshape(-1, conv.irreps_filter.dim)
+        if param_grads:
+            return dxg, demb, dsh, tuple(dws)
+        return dxg, demb, dsh
+
+    @jax.custom_vjp
+    def op(mlp_ws, xg, emb_km, sh_km, ybar):
+        return bwd_kernel(xg, emb_km, sh_km, ybar, tuple(mlp_ws))
+
+    def fwd_rule(mlp_ws, xg, emb_km, sh_km, ybar):
+        return (
+            op(mlp_ws, xg, emb_km, sh_km, ybar),
+            (mlp_ws, xg, emb_km, sh_km, ybar),
+        )
+
+    def bwd_rule(res, g):
+        return jax.vjp(ref, *res)[1](g)
+
+    op.defvjp(fwd_rule, bwd_rule)
+    return op
+
+
 def _get_kernels(conv, mlp_spec, A, K, param_grads):
     import os
 
@@ -811,9 +870,11 @@ def _get_kernels(conv, mlp_spec, A, K, param_grads):
     if key not in _KERNEL_CACHE:
         A_b = fused_conv_bwd_block_atoms(A, K)
         mk = make_fused_conv_bwd2 if use_bwd2 else make_fused_conv_bwd
+        bwd_kernel = mk(conv, mlp_spec, A_b, K, param_grads=param_grads)
+        bwd_op = _make_bwd_op(conv, mlp_spec, A_b, K, param_grads, bwd_kernel)
         _KERNEL_CACHE[key] = (
             make_fused_conv_fwd(conv, mlp_spec, A, K),
-            mk(conv, mlp_spec, A_b, K, param_grads=param_grads),
+            lambda xg, emb, sh, ybar, ws: bwd_op(ws, xg, emb, sh, ybar),
             A_b,
         )
     return _KERNEL_CACHE[key]
@@ -969,6 +1030,126 @@ def _fused_conv_chunked_bwd(conv, mlp_spec, A, param_grads, RC, res, ybar):
 _fused_conv_chunked.defvjp(_fused_conv_chunked_fwd, _fused_conv_chunked_bwd)
 
 
+# ---------------------------------------------------------------------------
+# ring-buffer mirror backward: the memory-bounded chunked path WITHOUT the
+# scatter-add (the 50k+ per-atom cost cliff, PLAN.md round-2 table). Atoms
+# must be cell-sorted so every edge's mirror lies within one row chunk of
+# its own row (circularly — PBC wraps the first and last cell layers); the
+# MD engine checks that bound at every rebuild and flags overflow
+# otherwise. The backward then keeps only THREE chunks of per-edge dx
+# contributions live in a ring buffer and reduces each chunk's x-cotangent
+# with the same mirror-permutation gather as the unchunked path — gather,
+# never scatter, at any system size. Chunks 0 and 1 are recomputed once at
+# the end to close the periodic wrap (2/nb overhead).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_conv_ring(conv, mlp_spec, A, param_grads, RC, mlp_ws, x,
+                     emb_nk, sh_nk, src_nk, mir_nk):
+    N, K = src_nk.shape
+    fwd, _, _ = _get_kernels(conv, mlp_spec, A, K, param_grads)
+
+    def chunk(carry, sl):
+        emb_c, sh_c, src_c = sl
+        xg = x[to_k_major(src_c, A)]
+        out = fwd(xg, to_k_major(emb_c, A), to_k_major(sh_c, A),
+                  tuple(mlp_ws))
+        return carry, jax.lax.optimization_barrier(out)
+
+    nb = N // RC
+    sl = tuple(
+        a.reshape(nb, RC, *a.shape[1:]) for a in (emb_nk, sh_nk, src_nk)
+    )
+    _, outs = jax.lax.scan(chunk, 0, sl)
+    return outs.reshape(N, -1)
+
+
+def _fused_conv_ring_fwd(conv, mlp_spec, A, param_grads, RC, mlp_ws, x,
+                         emb_nk, sh_nk, src_nk, mir_nk):
+    out = _fused_conv_ring(conv, mlp_spec, A, param_grads, RC, mlp_ws, x,
+                           emb_nk, sh_nk, src_nk, mir_nk)
+    return out, (mlp_ws, x, emb_nk, sh_nk, src_nk, mir_nk)
+
+
+def _fused_conv_ring_bwd(conv, mlp_spec, A, param_grads, RC, res, ybar):
+    mlp_ws, x, emb_nk, sh_nk, src_nk, mir_nk = res
+    N, K = src_nk.shape
+    dim_x = conv.irreps_x.dim
+    n_basis = mlp_spec.dims[0]
+    dim_f = conv.irreps_filter.dim
+    _, bwd, A_b = _get_kernels(conv, mlp_spec, A, K, param_grads)
+    nb = N // RC
+    RCK = RC * K
+    assert nb >= 3, "ring backward needs at least 3 row chunks"
+
+    def slc(a, start):
+        return jax.lax.dynamic_slice_in_dim(a, start, RC, 0)
+
+    def iteration(carry, i):
+        ring, dmlp = carry
+        ci = jnp.mod(i, nb)
+        start = ci * RC
+        src_c = slc(src_nk, start)
+        src_km = to_k_major(src_c, A_b)
+        xg = x[src_km]
+        outs = bwd(
+            xg,
+            to_k_major(slc(emb_nk, start), A_b),
+            to_k_major(slc(sh_nk, start), A_b),
+            slc(ybar, start),
+            tuple(mlp_ws),
+        )
+        if param_grads:
+            dxg_km, demb_km, dsh_km, dmlp_c = outs
+            live = (i < nb).astype(dmlp[0].dtype)
+            dmlp = tuple(a + live * b for a, b in zip(dmlp, dmlp_c))
+        else:
+            dxg_km, demb_km, dsh_km = outs
+        dxg_rm = from_k_major(dxg_km, RC, K, A_b).reshape(RCK, dim_x)
+        ring = jax.lax.dynamic_update_slice_in_dim(
+            ring, dxg_rm, jnp.mod(i, 3) * RCK, 0
+        )
+        # emit dx for the PREVIOUS chunk: its mirrors span chunks
+        # (cp-1, cp, cp+1) circularly — all live in the ring right now
+        cp = jnp.mod(i - 1, nb)
+        mir_c = slc(mir_nk, cp * RC)              # (RC, K) flat in N*K
+        q = mir_c // RCK                          # target chunk
+        delta = jnp.mod(q - jnp.mod(i - 2, nb), nb)   # 0 | 1 | 2
+        slot = jnp.mod(i - 2 + delta, 3)
+        ridx = slot * RCK + (mir_c - q * RCK)
+        dx_c = jnp.sum(
+            ring[ridx.reshape(-1)].reshape(RC, K, dim_x), axis=1
+        )
+        return (ring, dmlp), (
+            dx_c,
+            from_k_major(demb_km, RC, K, A_b),
+            from_k_major(dsh_km, RC, K, A_b),
+        )
+
+    dmlp0 = tuple(jnp.zeros_like(w) for w in mlp_ws)
+    ring0 = jnp.zeros((3 * RCK, dim_x), jnp.float32)
+    (_, dmlp), (dx_ch, demb_ch, dsh_ch) = jax.lax.scan(
+        iteration, (ring0, dmlp0), jnp.arange(nb + 2, dtype=jnp.int32)
+    )
+    # iterations 2..nb+1 emitted dx for chunks 1..nb-1, 0 — rotate back
+    dx = jnp.roll(dx_ch[2:], 1, axis=0).reshape(N, dim_x)
+    demb = demb_ch[:nb].reshape(emb_nk.shape)
+    dsh = dsh_ch[:nb].reshape(sh_nk.shape)
+    dmlp = tuple(g.astype(w.dtype) for g, w in zip(dmlp, mlp_ws))
+    return (
+        dmlp,
+        dx.astype(x.dtype),
+        demb.astype(emb_nk.dtype),
+        dsh.astype(sh_nk.dtype),
+        np.zeros(src_nk.shape, jax.dtypes.float0),
+        np.zeros(mir_nk.shape, jax.dtypes.float0),
+    )
+
+
+_fused_conv_ring.defvjp(_fused_conv_ring_fwd, _fused_conv_ring_bwd)
+
+
 def fused_conv_apply(
     conv: ConvTPSpec,
     mlp_spec: ScalarMLPSpec,
@@ -982,12 +1163,16 @@ def fused_conv_apply(
     block_atoms: int = 0,
     param_grads: bool = True,
     row_chunk: int = 0,
+    ring: bool = False,
 ):
     """Fused Pallas conv with the mirror-reduced backward. ``x`` padding
     rows must be inert (gathered but masked by zero emb). ``row_chunk``
     (atoms, rounded to the block size) streams the gather + kernels in
     chunks and switches the backward to scatter-add accumulation — the
-    memory-bounded mode for 100k+ atoms."""
+    memory-bounded mode for 100k+ atoms. ``ring=True`` (requires
+    cell-sorted atoms with every mirror within one row chunk, and
+    ``row_chunk`` dividing the atom capacity into >= 3 chunks) replaces
+    that scatter with the ring-buffer mirror gather."""
     K = src_nk.shape[1]
     A = block_atoms or fused_conv_block_atoms(K)
     n = x.shape[0]
@@ -995,6 +1180,16 @@ def fused_conv_apply(
         f"atom capacity {n} must be a multiple of the conv block size {A}"
     )
     ws = tuple(mlp_params["w"]) if isinstance(mlp_params, dict) else tuple(mlp_params)
+    if ring and row_chunk and row_chunk < n:
+        RC = (row_chunk // A) * A
+        assert RC > 0 and n % RC == 0 and n // RC >= 3, (
+            f"ring backward needs row_chunk ({RC}) to divide the atom "
+            f"capacity ({n}) into >= 3 chunks"
+        )
+        return _fused_conv_ring(
+            conv, mlp_spec, A, bool(param_grads), RC, ws, x, emb_nk,
+            sh_nk, src_nk, mir_nk,
+        )
     if row_chunk and row_chunk < n:
         # pad the row count to a multiple of the chunk instead of shrinking
         # the chunk to a divisor of n (awkward factorizations collapsed RC

@@ -178,6 +178,33 @@ def train_run(
     else:
         params = model_init(jax.random.PRNGKey(int(train_cfg.get("random_seed", 1))), spec)
 
+    # fused Pallas conv kernels in the TRAINING path (the analogue of
+    # enabling cuEq/FlashTP for training, reference accelerator.md): the
+    # conv's custom_vjp backward rule is itself differentiable
+    # (ops/fused_conv._make_bwd_op), so the force/stress-loss grad-of-grad
+    # composes. Batches then carry the mirror-edge permutation and pad the
+    # atom capacity to the kernel block size.
+    pad_mult = 64
+    if dense_k:
+        import dataclasses
+
+        env = os.environ.get("SEVENNET_TPU_FUSED")
+        fused_flag = model_cfg.get("_conv_fused", "auto")
+        if fused_flag == "auto":
+            fused_flag = (
+                bool(int(env)) if env is not None
+                else jax.default_backend() == "tpu"
+            )
+        if fused_flag:
+            from ..ops.fused_conv import fused_conv_block_atoms
+
+            A = fused_conv_block_atoms(dense_k)
+            pad_mult = -(-64 // A) * A
+            spec = dataclasses.replace(
+                spec, conv_fused=True, conv_param_grads=True
+            )
+            log.format_k_v("fused conv kernels (train)", f"on, block={A}")
+
     # stress loss is computed in kbar inside compute_losses (as the
     # reference does at loss.py:185), so the weight passes through unchanged
     loss_cfg = LossConfig(
@@ -251,13 +278,19 @@ def train_run(
                 shuffle=bool(train_cfg.get("train_shuffle", True)),
                 seed=epoch,
                 dense_k=dense_k,
+                pad_multiple=pad_mult,
+                with_mirror=spec.conv_fused,
             ),
             train=True,
         )
         rows = {"train": tr}
         if validset:
             va = trainer.run_epoch(
-                validset.batches(batch_size, dense_k=dense_k), train=False
+                validset.batches(
+                    batch_size, dense_k=dense_k, pad_multiple=pad_mult,
+                    with_mirror=spec.conv_fused,
+                ),
+                train=False,
             )
             rows["valid"] = va
         lc.append(epoch, rows)

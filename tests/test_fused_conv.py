@@ -207,3 +207,97 @@ def test_fused_lmax3_and_parity_matches_xla(x_str, lmax, sph_p):
                     jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-4)
+
+
+def _chain_setup(N=48, K=8, seed=0):
+    """Circular 1-D chain (neighbors i+-1, i+-2 mod N): every mirror lies
+    within 2 rows of its edge — the cell-sorted locality the ring-buffer
+    backward requires (engine._size_ring / _rebuild window check)."""
+    x_ir = Irreps("8x0e+8x1e+8x2e")
+    tgt = infer_irreps_out(x_ir, F_IR, 2, "full")
+    conv = ConvTPSpec(x_ir, F_IR, tgt)
+    mlp = ScalarMLPSpec((8, 16, 16, conv.weight_numel))
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    x = jax.random.normal(ks[0], (N, x_ir.dim)) * 0.5
+    offsets = [-2, -1, 1, 2]
+    src = np.tile(np.arange(N, dtype=np.int32)[:, None], (1, K))
+    shift = np.zeros((N, K, 3), np.float32)
+    mask = np.zeros((N, K), bool)
+    for k, o in enumerate(offsets):
+        j = np.arange(N) + o
+        shift[:, k, 0] = np.where(j >= N, 1.0, np.where(j < 0, -1.0, 0.0))
+        src[:, k] = j % N
+        mask[:, k] = True
+    emb = np.asarray(jax.random.normal(ks[2], (N, K, 8))) * 0.3
+    emb = emb * mask[:, :, None]
+    sh = np.asarray(jax.random.normal(ks[3], (N, K, F_IR.dim))) * 0.5
+    mlp_p = scalar_mlp_init(ks[4], mlp)
+    mir = mirror_map(jnp.asarray(src), jnp.asarray(shift), jnp.asarray(mask))
+    return conv, mlp, mlp_p, x, jnp.asarray(emb), jnp.asarray(sh), \
+        jnp.asarray(src), mir, mask
+
+
+@pytest.mark.parametrize("param_grads", [False, True])
+def test_fused_ring_matches_unchunked(param_grads):
+    """Ring-buffer mirror backward (the scatter-free chunked mode for
+    100k-scale MD) == the unchunked mirror path, incl. the periodic wrap
+    chunks (0 and nb-1)."""
+    conv, mlp, mlp_p, x, emb, sh, src, mir, mask = _chain_setup(N=48, K=8)
+    # mirrors must be window-local for the ring contract
+    RC, nb = 16, 3
+    c_i = np.arange(48)[:, None] // RC
+    c_j = (np.asarray(mir) // 8) // RC
+    d = (c_j - c_i) % nb
+    assert (((d <= 1) | (d == nb - 1)) | ~mask).all()
+    cot = jax.random.normal(jax.random.PRNGKey(9),
+                            (x.shape[0], conv.irreps_mid.dim)) * 0.1
+
+    def loss(p, x, emb, sh, rc, ring):
+        out = fused_conv_apply(conv, mlp, p, x, emb, sh, src, mir,
+                               block_atoms=8, param_grads=param_grads,
+                               row_chunk=rc, ring=ring)
+        return jnp.sum(out * cot), out
+
+    (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                      has_aux=True)(mlp_p, x, emb, sh, 0, False)
+    (l2, o2), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                      has_aux=True)(mlp_p, x, emb, sh, RC, True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("wrt", ["sh", "emb"])
+def test_fused_grad_of_grad_matches_xla(wrt):
+    """Force-loss training composition: outer parameter gradient THROUGH an
+    inner input gradient (grad-of-grad). The fused conv's backward rule is
+    itself a custom_vjp (ops/fused_conv._make_bwd_op) whose second-order
+    pullback must match plain XLA autodiff — the TPU analogue of training
+    with cuEq/FlashTP accelerators enabled (reference accelerator.md)."""
+    conv, mlp, mlp_p, x, emb, sh, src, mir, mask = _setup(N=24, K=8)
+    cot = jax.random.normal(jax.random.PRNGKey(9),
+                            (x.shape[0], conv.irreps_mid.dim)) * 0.1
+    tgt = jax.random.normal(jax.random.PRNGKey(10),
+                            (emb if wrt == "emb" else sh).shape) * 0.1
+
+    def outer(p, x, emb, sh, fused):
+        def energy(emb, sh):
+            if fused:
+                out = fused_conv_apply(conv, mlp, p, x, emb, sh, src, mir,
+                                       block_atoms=8, param_grads=True)
+            else:
+                out = _xla_ref(conv, mlp, p, x, emb, sh, src)
+            return jnp.sum(out * cot)
+
+        g = jax.grad(energy, argnums=(0 if wrt == "emb" else 1))(emb, sh)
+        return jnp.sum((g - tgt) ** 2) + energy(emb, sh)
+
+    g_f = jax.grad(outer, argnums=(0, 1, 2, 3))(mlp_p, x, emb, sh, True)
+    g_x = jax.grad(outer, argnums=(0, 1, 2, 3))(mlp_p, x, emb, sh, False)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=2e-4)

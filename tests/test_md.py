@@ -423,3 +423,67 @@ def test_npt_mtk_conserves_invariant():
     # 27 atoms, 80 x 0.5 fs, fp32: a broken integrator drifts ~eV here
     assert drift < 0.05, (hs, drift)
     assert np.isfinite(np.asarray(state.positions)).all()
+
+
+@pytest.mark.slow
+def test_engine_ring_backward_matches_dense(monkeypatch):
+    """End-to-end ring-chunked fused MD (auto cell-sort + window check +
+    ring-buffer backward) == the plain dense XLA engine on a small gas,
+    with the chunk threshold forced down so the ring path engages."""
+    from sevennet_tpu.md import MDEngine
+    from sevennet_tpu.model import build_model_spec
+    from sevennet_tpu.model.model import model_init
+
+    monkeypatch.setenv("SEVENNET_TPU_CHUNK_THRESHOLD", "1")
+    monkeypatch.setenv("SEVENNET_TPU_TARGET_T", "128")
+    import sevennet_tpu.ops.fused_conv as fc
+
+    fc._KERNEL_CACHE.clear()
+    spec = build_model_spec({
+        "cutoff": 3.0,
+        "channel": 8,
+        "lmax": 1,
+        "is_parity": False,
+        "num_convolution_layer": 2,
+        "irreps_manual": ["8x0e", "8x0e+4x1e", "8x0e"],
+        "weight_nn_hidden_neurons": [8, 8],
+        "radial_basis": {"radial_basis_name": "bessel", "bessel_basis_num": 4},
+        "cutoff_function": {"cutoff_function_name": "XPLOR", "cutoff_on": 2.5},
+        "self_connection_type": "linear",
+        "conv_denominator": 8.0,
+        "chemical_species": ["H", "O"],
+        "_edge_chunk": 256,
+    })
+    params = model_init(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(7)
+    cell = np.eye(3) * 18.0
+    pos = rng.uniform(0, 18.0, (96, 3))
+    Z = np.where(rng.random(96) < 0.5, 1, 8)
+
+    e_ring = MDEngine(spec, params, cell, fused=True)
+    s_ring = e_ring.make_state(pos, Z, temperature=50.0, seed=3)
+    assert e_ring._ring_nb >= 3 and e_ring.sort_atoms, (
+        e_ring._ring_nb, e_ring.row_chunk)
+    assert e_ring.spec.conv_ring
+    e_ref = MDEngine(spec, params, cell, fused=False, sort_atoms=False)
+    s_ref = e_ref.make_state(pos, Z, temperature=50.0, seed=3)
+
+    def unsort(state):
+        order = np.argsort(np.asarray(state.atom_index))
+        return (np.asarray(state.forces)[order],
+                np.asarray(state.positions)[order])
+
+    f1, p1 = unsort(s_ring)
+    f0, p0 = unsort(s_ref)
+    n = len(pos)
+    np.testing.assert_allclose(f1[:n], f0[:n], atol=5e-5)
+    np.testing.assert_allclose(
+        float(s_ring.potential_energy), float(s_ref.potential_energy),
+        atol=1e-4,
+    )
+
+    s_ring, _ = e_ring.run(s_ring, 3, dt=0.5, integrator="nve", chunk=3)
+    s_ref, _ = e_ref.run(s_ref, 3, dt=0.5, integrator="nve", chunk=3)
+    _, p1 = unsort(s_ring)
+    _, p0 = unsort(s_ref)
+    np.testing.assert_allclose(p1[:n], p0[:n], atol=1e-4)

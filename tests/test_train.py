@@ -260,3 +260,59 @@ def test_all_presets_parse():
     for name, text in PRESETS.items():
         model, train, data = config_from_dicts(yaml.safe_load(text))
         assert model["cutoff"] > 0, name
+
+
+def test_train_fused_matches_dense(tiny_dataset, tmp_path, monkeypatch):
+    """Training with the fused Pallas conv (``_conv_fused``, grad-of-grad
+    through the kernel's differentiable backward rule) must reproduce the
+    dense-XLA path's losses — the accelerator-equivalence contract the
+    reference holds for cuEq/FlashTP training (docs accelerator.md)."""
+    from sevennet_tpu.scripts.train import train_run
+
+    monkeypatch.setenv("SEVENNET_TPU_TARGET_T", "256")
+    import sevennet_tpu.ops.fused_conv as fc
+
+    fc._KERNEL_CACHE.clear()
+    model_cfg = {
+        "cutoff": 4.0,
+        "channel": 4,
+        "lmax": 1,
+        "is_parity": False,
+        "num_convolution_layer": 2,
+        "chemical_species": "auto",
+        "self_connection_type": "linear",
+        "conv_denominator": "avg_num_neigh",
+        "shift": "per_atom_energy_mean",
+        "scale": "force_rms",
+    }
+    train_cfg = {
+        "epoch": 1,
+        "loss": "mse",
+        "optimizer": "adam",
+        "optim_param": {"lr": 0.0},  # frozen: losses = initial-params losses
+        "force_loss_weight": 0.1,
+        "stress_loss_weight": 1e-4,
+        "per_epoch": 1,
+        "random_seed": 1,
+        "train_shuffle": False,
+    }
+    data_cfg = {"batch_size": 4, "load_trainset_path": [tiny_dataset]}
+
+    vals = {}
+    for tag, fused in (("dense", False), ("fused", True)):
+        cfg = dict(model_cfg, _conv_fused=fused)
+        wd = str(tmp_path / tag)
+        train_run(cfg, dict(train_cfg), dict(data_cfg), working_dir=wd)
+        lc = open(os.path.join(wd, "lc.csv")).read().strip().splitlines()
+        header = lc[0].split(",")
+        row = lc[1].split(",")
+        vals[tag] = {
+            h: float(row[i])
+            for i, h in enumerate(header)
+            if h.startswith("train_") and row[i] not in ("", "nan")
+        }
+    assert vals["fused"], vals
+    for k, v in vals["dense"].items():
+        np.testing.assert_allclose(
+            vals["fused"][k], v, rtol=2e-3, atol=1e-6, err_msg=k
+        )
