@@ -179,6 +179,7 @@ class MultiModalDataset:
         pad_multiple: int = 64,
         drop_last: bool = False,
         dense_k: int = 0,
+        with_mirror: bool = False,
     ) -> Iterator[GraphBatch]:
         """Globally shuffled padded batches; every graph carries its
         modality index (GraphBatch.modal)."""
@@ -209,4 +210,5 @@ class MultiModalDataset:
                 n_edges_cap=caps[1],
                 n_graphs_cap=batch_size,
                 dense_k=dense_k,
+                with_mirror=with_mirror,
             )

@@ -176,12 +176,15 @@ class MDEngine:
             # the overflow flag.
             from ..data.neighborlist import neighbor_list_numpy as _nl
 
-            dstc, _, _ = _nl(
+            dstc, srcc, _ = _nl(
                 np.asarray(positions), self.spec.cutoff + 0.1 * self.skin,
                 self.cell, (True, True, True),
             )
             mx_c = int(np.bincount(dstc, minlength=n).max()) if len(dstc) else 8
-            k_model = int(np.ceil(mx_c * 1.15)) + 2
+            import os as _os
+
+            k_margin = float(_os.environ.get("SEVENNET_TPU_KMARGIN", 1.15))
+            k_model = int(np.ceil(mx_c * k_margin)) + 2
             if self.fused:
                 k_model = -(-k_model // 8) * 8
                 from ..ops.fused_conv import fused_conv_block_atoms
@@ -194,6 +197,15 @@ class MDEngine:
                 )
             self.k_model = min(k_model, self.cl_spec.neighbor_capacity)
             if self.fused:
+                # window measured on the SKINNED list: the truncated conv
+                # slots keep the nearest K' edges, which reach cutoff+skin
+                dstw, srcw, _ = _nl(
+                    np.asarray(positions), self.spec.cutoff + self.skin,
+                    self.cell, (True, True, True),
+                )
+                self._ring_window = self._host_window(
+                    np.asarray(positions), dstw, srcw
+                )
                 n_atoms_cap = self._size_ring(n_atoms_cap, A)
             edge_chunk = (
                 self.row_chunk * self.k_model
@@ -256,30 +268,80 @@ class MDEngine:
         if "rebuild" not in self._run_cache:
             self._run_cache["rebuild"] = jax.jit(self._rebuild)
         state = self._run_cache["rebuild"](state)
+        # host-side estimates can undershoot (density spikes, ring window):
+        # honor the overflow flags immediately instead of returning a state
+        # whose edges are silently truncated
+        for _ in range(3):
+            ofl_nl = bool(state.nl_overflow)
+            ofl_ring = (
+                state.ring_overflow is not None
+                and bool(state.ring_overflow)
+            )
+            if not (ofl_nl or ofl_ring):
+                break
+            state = self._grow_capacities(
+                state, ring_only=ofl_ring and not ofl_nl
+            )
         forces, energy, stress = self._forces_jit(state)
         return state.replace(
             forces=forces, potential_energy=energy, stress=stress
         )
 
     # -- internals -----------------------------------------------------------
+    def _host_window(self, pos, dst, src) -> int:
+        """Max circular row distance between neighbors under the
+        interleaved cell-id sort (the ring backward's window requirement),
+        measured on the actual system host-side. ~1.3 x-layers of cells
+        for homogeneous boxes; vacuum regions and density fluctuations
+        make analytic estimates unreliable (measured, PLAN.md r3)."""
+        n = len(pos)
+        if len(dst) == 0 or n == 0:
+            return 0
+        nx, ny, nz = self.cl_spec.n_cells
+        frac = (pos @ np.linalg.inv(self.cell)) % 1.0
+        grid = np.array([nx, ny, nz])
+        c = np.clip((frac * grid).astype(np.int64), 0, grid - 1)
+        iy = np.where(c[:, 1] * 2 < ny, 2 * c[:, 1], 2 * (ny - 1 - c[:, 1]) + 1)
+        iz = np.where(c[:, 2] * 2 < nz, 2 * c[:, 2], 2 * (nz - 1 - c[:, 2]) + 1)
+        cid = (c[:, 0] * ny + iy) * nz + iz
+        rank = np.empty(n, np.int64)
+        rank[np.argsort(cid, kind="stable")] = np.arange(n)
+        d = np.abs(rank[dst] - rank[src])
+        return int(np.minimum(d, n - d).max())
+
     def _size_ring(self, n_cap: int, A: int) -> int:
         """Size the ring-buffer backward's row chunk (``fused_conv`` ring
-        path): cell-sorted rows put every mirror within ~one x-layer of
-        cells, so the chunk must cover one layer (plus margin). Returns the
-        (possibly enlarged) atom capacity ``nb * RC``; leaves the ring off
+        path) from the host-measured mirror window. Returns the (possibly
+        enlarged) atom capacity ``nb * RC``; leaves the ring off
         (``row_chunk = 0``) when chunking is not engaged, the user opted
         out of sorting, or the geometry leaves < 3 chunks."""
+        import os
+
         self.row_chunk = 0
         self._ring_nb = 0
-        if not self.spec.edge_chunk or self.sort_atoms is False:
+        # DEFAULT OFF (round-3 measured, PLAN.md): at 100k the halo mirror
+        # gather spans 3 row chunks (window 7.4k rows -> 9.1k-row chunks),
+        # reading 3x the dxg per layer — 4816 ms/step vs 3188 for the
+        # scatter-add backward it was meant to replace. Opt back in with
+        # SEVENNET_TPU_RING=1 (correct; wins only if the mirror window is
+        # much smaller than the scatter path's row chunk).
+        ring_env = os.environ.get("SEVENNET_TPU_RING")
+        if (
+            not self.spec.edge_chunk
+            or self.sort_atoms is False
+            or not (ring_env and int(ring_env))
+        ):
             return n_cap
         from ..ops.fused_conv import chunk_threshold
 
         dim_x_max = max(l.conv.irreps_x.dim for l in self.spec.layers)
         if n_cap * self.k_model * dim_x_max * 4 <= chunk_threshold():
             return n_cap  # unchunked mirror backward is used below this
-        ncx = self.cl_spec.n_cells[0]
-        window = int(np.ceil(self._ring_margin * n_cap / max(ncx, 1)))
+        if not self._ring_window:
+            # no host measurement available: conservative analytic bound
+            ncx = max(self.cl_spec.n_cells[0], 1)
+            self._ring_window = int(np.ceil(1.5 * n_cap / ncx))
+        window = int(np.ceil(self._ring_margin * self._ring_window))
         rc0 = max(self.spec.edge_chunk // self.k_model, window, A)
         nb = n_cap // rc0
         if nb < 3:
@@ -291,7 +353,8 @@ class MDEngine:
             self.sort_atoms = True
         return nb * RC
 
-    _ring_margin = 1.35  # row-window slack over one x-layer of cells
+    _ring_margin = 1.15  # slack over the measured mirror row window
+    _ring_window = 0     # host-measured window (rows); set in make_state
 
     def _rebuild(self, state: MDState) -> MDState:
         if self.sort_atoms:
@@ -314,18 +377,18 @@ class MDEngine:
                 src.reshape(n, K), shift.reshape(n, K, 3),
                 mask.reshape(n, K),
             )
+            ring_bad = None
             if self._ring_nb:
                 # ring-backward contract: every edge's mirror row must lie
-                # within one chunk of its own row, circularly (PBC wraps
-                # the first/last cell layers). Violations (density drift,
-                # undersized chunk) flag overflow -> snapshot retry grows
-                # the chunk.
+                # within one chunk of its own row, circularly (the ring
+                # wraps the first/last x-cell-layers). Violations (density
+                # drift, undersized chunk) raise ring_overflow -> snapshot
+                # retry grows the ROW CHUNK only, not the neighbor list.
                 RC, nb = self.row_chunk, self._ring_nb
                 c_i = (jnp.arange(n, dtype=jnp.int32) // RC)[:, None]
                 c_j = (mir2d // K) // RC
                 d = jnp.mod(c_j - c_i, nb)
-                bad = jnp.any(mask.reshape(n, K) & (d > 1) & (d != nb - 1))
-                overflow = overflow | bad
+                ring_bad = jnp.any(mask.reshape(n, K) & (d > 1) & (d != nb - 1))
             edge_mir = mir2d.reshape(-1)
         # NPT can shrink the box: grid cells must stay >= cutoff+skin
         inv = jnp.linalg.inv(state.cell)
@@ -344,6 +407,12 @@ class MDEngine:
             edge_mir=edge_mir,
             nl_overflow=state.nl_overflow | overflow | too_small,
         )
+        if state.ring_overflow is not None:
+            upd["ring_overflow"] = (
+                state.ring_overflow | ring_bad
+                if self.fused and ring_bad is not None
+                else state.ring_overflow
+            )
         if self.d3_params is not None:
             s3, d3, sh3, m3, ofl3, _ = rebuild_neighbors(
                 self.d3_cl_spec, pos_w, state.cell, state.atom_mask
@@ -364,7 +433,15 @@ class MDEngine:
         frac = frac - jnp.floor(frac)
         grid = jnp.asarray([nx, ny, nz])
         coords = jnp.clip((frac * grid).astype(jnp.int32), 0, grid - 1)
-        cid = (coords[:, 0] * ny + coords[:, 1]) * nz + coords[:, 2]
+        # y/z are INTERLEAVED (0, n-1, 1, n-2, ...): circularly adjacent
+        # cells then differ by <= 2 in rank, so PBC-wrapped neighbors stay
+        # row-local — the plain raster order cost ~2.2 x-layers of row
+        # window (wrap pairs), interleave ~1.3 (measured, PLAN.md r3).
+        # x stays raster: the ring backward handles the x-wrap circularly.
+        iy, iz = coords[:, 1], coords[:, 2]
+        iy = jnp.where(iy * 2 < ny, 2 * iy, 2 * (ny - 1 - iy) + 1)
+        iz = jnp.where(iz * 2 < nz, 2 * iz, 2 * (nz - 1 - iz) + 1)
+        cid = (coords[:, 0] * ny + iy) * nz + iz
         cid = jnp.where(state.atom_mask, cid, ncells)
         perm = jnp.argsort(cid, stable=True)
         upd = dict(
@@ -552,9 +629,16 @@ class MDEngine:
                     self._run_cache[key] = jax.jit(scan_run)
                 prev = state
                 state, (pe, ke) = self._run_cache[key](state)
-                if not bool(state.nl_overflow):
+                ofl_nl = bool(state.nl_overflow)
+                ofl_ring = (
+                    state.ring_overflow is not None
+                    and bool(state.ring_overflow)
+                )
+                if not (ofl_nl or ofl_ring):
                     break
-                state = self._grow_capacities(prev)
+                state = self._grow_capacities(
+                    prev, ring_only=ofl_ring and not ofl_nl
+                )
             else:
                 raise RuntimeError(
                     "neighbor-list capacity overflow persisted after 3 "
@@ -569,33 +653,38 @@ class MDEngine:
                 next_dump += traj_every
         return state, (jnp.concatenate(traj_pe), jnp.concatenate(traj_ke))
 
-    def _grow_capacities(self, state: MDState, factor: float = 1.35) -> MDState:
+    def _grow_capacities(
+        self, state: MDState, factor: float = 1.35, ring_only: bool = False
+    ) -> MDState:
         """Rebuild the engine's static capacities (cell occupancy, neighbor
         slots, conv slot width, D3 edges) ``factor`` bigger and re-create
         the state from the given snapshot (positions/velocities/identity
-        preserved; jitted functions recompile lazily)."""
+        preserved; jitted functions recompile lazily). ``ring_only`` grows
+        just the ring backward's row-chunk window (a window violation does
+        not mean the neighbor list overflowed)."""
         import dataclasses
 
         up8 = lambda v: -(-int(np.ceil(v)) // 8) * 8
-        K_new = up8(self.cl_spec.neighbor_capacity * factor)
-        self.cl_spec = dataclasses.replace(
-            self.cl_spec,
-            neighbor_capacity=K_new,
-            cell_capacity=int(np.ceil(self.cl_spec.cell_capacity * factor)) + 2,
-            edge_cap=(
-                -(-int(np.ceil(self.cl_spec.edge_cap * factor)) // 256) * 256
-                if self.cl_spec.edge_cap > 0 else 0
-            ),
-        )
-        if self.dense:
-            k_model = up8(self.k_model * factor) if self.fused else int(
-                np.ceil(self.k_model * factor)
+        if not ring_only:
+            K_new = up8(self.cl_spec.neighbor_capacity * factor)
+            self.cl_spec = dataclasses.replace(
+                self.cl_spec,
+                neighbor_capacity=K_new,
+                cell_capacity=int(np.ceil(self.cl_spec.cell_capacity * factor)) + 2,
+                edge_cap=(
+                    -(-int(np.ceil(self.cl_spec.edge_cap * factor)) // 256) * 256
+                    if self.cl_spec.edge_cap > 0 else 0
+                ),
             )
-            self.k_model = min(k_model, K_new)
-            self.spec = dataclasses.replace(
-                self.spec, edge_dense_k=self.k_model
-            )
-        if self.d3_cl_spec is not None:
+            if self.dense:
+                k_model = up8(self.k_model * factor) if self.fused else int(
+                    np.ceil(self.k_model * factor)
+                )
+                self.k_model = min(k_model, K_new)
+                self.spec = dataclasses.replace(
+                    self.spec, edge_dense_k=self.k_model
+                )
+        if not ring_only and self.d3_cl_spec is not None:
             self.d3_cl_spec = dataclasses.replace(
                 self.d3_cl_spec,
                 neighbor_capacity=int(
@@ -615,9 +704,8 @@ class MDEngine:
 
             A = fused_conv_block_atoms(self.k_model)
             n_atoms_cap = -(-n_real // A) * A
-            if self._ring_nb:
-                # overflow may have been a ring-window violation: widen the
-                # row-chunk margin along with the other capacities
+            if ring_only:
+                # window violation: widen only the row-chunk margin
                 self._ring_margin = self._ring_margin * factor
             n_atoms_cap = self._size_ring(n_atoms_cap, A)
             edge_chunk = (

@@ -61,6 +61,8 @@ class MDState:
     # MTK barostat DOF: [v_eps, xi_b1..3, vxi_b1..3, eps] (zeros when unused)
     baro: Optional[jnp.ndarray] = None  # (8,)
     edge_mir: Optional[jnp.ndarray] = None  # (E,) mirror map (fused conv)
+    # ring-backward window violated (grow the row chunk, not the NL)
+    ring_overflow: Optional[jnp.ndarray] = None  # () bool
     # original input index of each slot (tracks identity under spatial
     # sorting; trajectory dumps unpermute with it)
     atom_index: Optional[jnp.ndarray] = None  # (N,) int32
@@ -163,6 +165,7 @@ def init_md_state(
         edge_mir=(
             jnp.zeros(n_edges_cap, jnp.int32) if with_mirror else None
         ),
+        ring_overflow=jnp.asarray(False) if with_mirror else None,
         atom_index=jnp.arange(cap, dtype=jnp.int32),
         z_numbers=(
             jnp.asarray(pad(np.asarray(atomic_numbers, np.int32)), jnp.int32)

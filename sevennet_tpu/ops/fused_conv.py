@@ -158,12 +158,13 @@ def fused_conv_block_atoms(K: int, target_t: int = 2816) -> int:
 
 
 def fused_conv_bwd_block_atoms(A_fwd: int, K: int = 0,
-                               target_t: int = 1536) -> int:
+                               target_t: int = 2816) -> int:
     """Backward block size: the largest divisor of the forward block (so
     the padded atom capacity stays divisible) whose T_b = A_b*K stays at or
-    under ``target_t`` — the backward holds ~2x the forward's VMEM state
-    and overflows the 110 MB scoped limit near T=2880 at SevenNet-0 shapes
-    (124 MB, BENCH r3 logs)."""
+    under ``target_t``. Since the per-instruction ybt tiling (round 3)
+    the backward fits scoped VMEM at the forward's own block size, so this
+    normally returns ``A_fwd`` — which lets the backward reuse the
+    forward's gathered/k-major tensors with no relayout."""
     import os
 
     env = os.environ.get("SEVENNET_TPU_BWD_A")
@@ -655,12 +656,28 @@ def make_fused_conv_bwd2(
         embT = emb_ref[:].T
         shT = sh_ref[:].T
         ybT = ybar_ref[:].T        # (dim_mid, A)
-        # one lane-concat for every receiver-cotangent tile: k-major lanes
-        # t = k*A + a, so copy k occupies lanes [k*A, (k+1)*A) — a single
-        # (dim_mid, T) tiling instead of per-(instruction, p) concat chains
-        # (broadcast_to+reshape does not lower in Mosaic: the merged minor
-        # dims need a relayout)
-        ybt_full = jnp.concatenate([ybT] * K, axis=1)
+        # receiver-cotangent tiles are built per INSTRUCTION (the d3*mul
+        # rows an instruction consumes, tiled K times across the k-major
+        # lanes t = k*A + a) instead of materializing the full (dim_mid, T)
+        # tile: at T = 2816 that single buffer was 35 MB of scoped VMEM —
+        # the reason the backward block had to stay at half the forward's
+        # size (round-3 notes). Per-p concat chains (round-2 bwd) were
+        # slower; per-instruction is the same data volume as the full tile
+        # but transient.
+        ybt_cache: Dict[Any, Any] = {}
+
+        def ybt_tile(g0, u_tot, u_off, mul, d3):
+            key = (g0, u_tot, u_off, mul, d3)
+            if key not in ybt_cache:
+                rows = jnp.concatenate(
+                    [
+                        ybT[g0 + p * u_tot + u_off :, :][:mul, :]
+                        for p in range(d3)
+                    ],
+                    axis=0,
+                )  # (d3*mul, A)
+                ybt_cache[key] = jnp.concatenate([rows] * K, axis=1)
+            return ybt_cache[key]
 
         # ---- recompute the radial MLP, keeping pre-activations ----
         h = embT
@@ -683,10 +700,8 @@ def make_fused_conv_bwd2(
             x0, w0 = ins["x_start"], ins["w_start"]
             wb = w_edge[w0 : w0 + mul, :]
             g0, u_off, u_tot = ins["g_start"], ins["u_off"], ins["u_tot"]
-            ybt = {
-                p: ybt_full[g0 + p * u_tot + u_off :, :][:mul, :]
-                for p in range(d3)
-            }
+            tile = ybt_tile(g0, u_tot, u_off, mul, d3)
+            ybt = {p: tile[p * mul : (p + 1) * mul, :] for p in range(d3)}
             xw = [
                 xgT[x0 + m * mul : x0 + (m + 1) * mul, :] * wb
                 for m in range(d1)
@@ -862,13 +877,27 @@ def _make_bwd_op(conv, mlp_spec, A_b, K, param_grads, bwd_kernel):
     return op
 
 
-def _get_kernels(conv, mlp_spec, A, K, param_grads):
+def save_xg_bytes() -> int:
+    """Per-layer size cap (bytes of the gathered (N*K, dim_x) tensor) under
+    which the forward's gather + k-major relayouts are SAVED as residuals
+    for the backward instead of recomputed: the backward then runs at the
+    forward's block size and re-reads the same buffers — no regather, no
+    relayout (one full HBM round-trip of the largest tensor per layer
+    saved). All mid layers' xg stay live through the backward, so the cap
+    bounds peak HBM (~4x cap + activations for SevenNet-0)."""
+    import os
+
+    return int(os.environ.get("SEVENNET_TPU_SAVE_XG", 2_400_000_000))
+
+
+def _get_kernels(conv, mlp_spec, A, K, param_grads, A_b=None):
     import os
 
     use_bwd2 = bool(int(os.environ.get("SEVENNET_TPU_BWD2", 1)))
-    key = (conv, mlp_spec, A, K, param_grads, use_bwd2)
-    if key not in _KERNEL_CACHE:
+    if A_b is None:
         A_b = fused_conv_bwd_block_atoms(A, K)
+    key = (conv, mlp_spec, A, K, param_grads, use_bwd2, A_b)
+    if key not in _KERNEL_CACHE:
         mk = make_fused_conv_bwd2 if use_bwd2 else make_fused_conv_bwd
         bwd_kernel = mk(conv, mlp_spec, A_b, K, param_grads=param_grads)
         bwd_op = _make_bwd_op(conv, mlp_spec, A_b, K, param_grads, bwd_kernel)
@@ -895,26 +924,66 @@ def _fused_conv(conv, mlp_spec, A, param_grads, mlp_ws, x, emb_nk, sh_nk,
     return out
 
 
+def _save_xg(conv, A, K, N) -> bool:
+    """Static policy: stash the forward's gathered xg (+ k-major emb/sh)
+    for the backward? Requires the backward to run at the forward's block
+    size; bounded by :func:`save_xg_bytes` so all layers' xg staying live
+    through the backward cannot blow HBM. When off, the backward uses a
+    DIFFERENT block size on purpose — its regather is then structurally
+    distinct from the forward's, so XLA cannot CSE the two gathers into
+    one long-lived buffer behind our back."""
+    A_b = fused_conv_bwd_block_atoms(A, K)
+    return (
+        A_b == A and N * K * conv.irreps_x.dim * 4 <= save_xg_bytes()
+    )
+
+
 def _fused_conv_fwd_rule(conv, mlp_spec, A, param_grads, mlp_ws, x, emb_nk,
                          sh_nk, src_nk, mir_nk):
+    # out always comes from the wrapped primal: grad-of-grad differentiates
+    # THIS rule, and the raw pallas fwd kernel has no JVP — re-entering
+    # _fused_conv keeps second-order differentiation on the custom rules
     out = _fused_conv(conv, mlp_spec, A, param_grads, mlp_ws, x, emb_nk,
                       sh_nk, src_nk, mir_nk)
-    return out, (mlp_ws, x, emb_nk, sh_nk, src_nk, mir_nk)
+    K = src_nk.shape[1]
+    if not _save_xg(conv, A, K, x.shape[0]):
+        return out, (mlp_ws, x, emb_nk, sh_nk, src_nk, mir_nk)
+    # saved-gather residuals: identical HLO to the primal's internals, so
+    # XLA CSEs them into ONE gather/relayout whose buffers the backward
+    # then reuses directly
+    xg = x[to_k_major(src_nk, A)]
+    emb_km = to_k_major(emb_nk, A)
+    sh_km = to_k_major(sh_nk, A)
+    return out, (mlp_ws, xg, emb_km, sh_km, mir_nk)
 
 
 def _fused_conv_bwd_rule(conv, mlp_spec, A, param_grads, res, ybar):
-    mlp_ws, x, emb_nk, sh_nk, src_nk, mir_nk = res
-    N, K = src_nk.shape
-    _, bwd, A_b = _get_kernels(conv, mlp_spec, A, K, param_grads)
-    src_km = to_k_major(src_nk, A_b)
-    xg = x[src_km]
-    outs = bwd(
-        xg,
-        to_k_major(emb_nk, A_b),
-        to_k_major(sh_nk, A_b),
-        ybar,
-        tuple(mlp_ws),
-    )
+    if len(res) == 5:
+        # saved-gather mode: backward at the forward's block size, reusing
+        # the forward's gathered xg and k-major emb/sh (no regather, no
+        # relayout)
+        mlp_ws, xg, emb_km, sh_km, mir_nk = res
+        N, K = mir_nk.shape
+        A_b = A
+        _, bwd, _ = _get_kernels(conv, mlp_spec, A, K, param_grads, A_b=A)
+        outs = bwd(xg, emb_km, sh_km, ybar, tuple(mlp_ws))
+        x_dtype = xg.dtype
+        emb_dtype, sh_dtype = emb_km.dtype, sh_km.dtype
+    else:
+        mlp_ws, x, emb_nk, sh_nk, src_nk, mir_nk = res
+        N, K = src_nk.shape
+        _, bwd, A_b = _get_kernels(conv, mlp_spec, A, K, param_grads)
+        src_km = to_k_major(src_nk, A_b)
+        xg = x[src_km]
+        outs = bwd(
+            xg,
+            to_k_major(emb_nk, A_b),
+            to_k_major(sh_nk, A_b),
+            ybar,
+            tuple(mlp_ws),
+        )
+        x_dtype = x.dtype
+        emb_dtype, sh_dtype = emb_nk.dtype, sh_nk.dtype
     if param_grads:
         dxg_km, demb_km, dsh_km, dmlp = outs
         dmlp = tuple(g.astype(w.dtype) for g, w in zip(dmlp, mlp_ws))
@@ -924,18 +993,22 @@ def _fused_conv_bwd_rule(conv, mlp_spec, A, param_grads, res, ybar):
     # dx: per-edge contributions live at the edge's own (receiver) slot in
     # k-major order; the contribution TARGETS the sender. Mirror gather:
     # dx[n] = sum_k dxg[mirror of (n, k)] — the mirror of (n,k) is the edge
-    # where n is the sender.
-    dxg_nk = from_k_major(dxg_km, N, K, A_b)  # (N, K, dim_x)
-    flat = dxg_nk.reshape(N * K, -1)
-    dx = jnp.sum(flat[mir_nk.reshape(-1)].reshape(N, K, -1), axis=1)
+    # where n is the sender. Index the K-MAJOR dxg directly (row-major ->
+    # k-major index arithmetic) instead of rematerializing a row-major
+    # copy first: from_k_major is a genuine (NK, dim_x) data movement
+    # (~1.5 GB/layer at 10k) XLA cannot fuse into the gather.
+    r_loc = mir_nk // K
+    kk = mir_nk - r_loc * K
+    km = (r_loc // A_b) * (K * A_b) + kk * A_b + (r_loc % A_b)
+    dx = jnp.sum(dxg_km[km.reshape(-1)].reshape(N, K, -1), axis=1)
     demb = from_k_major(demb_km, N, K, A_b)
     dsh = from_k_major(dsh_km, N, K, A_b)
     return (
         dmlp,
-        dx.astype(x.dtype),
-        demb.astype(emb_nk.dtype),
-        dsh.astype(sh_nk.dtype),
-        np.zeros(src_nk.shape, jax.dtypes.float0),
+        dx.astype(x_dtype),
+        demb.astype(emb_dtype),
+        dsh.astype(sh_dtype),
+        np.zeros((N, K), jax.dtypes.float0),
         np.zeros(mir_nk.shape, jax.dtypes.float0),
     )
 
@@ -996,7 +1069,10 @@ def _fused_conv_chunked_bwd(conv, mlp_spec, A, param_grads, RC, res, ybar):
         emb_c, sh_c, src_c, yb_c = sl
         src_km = to_k_major(src_c, A_b)
         xg = x[src_km]
-        outs = bwd(xg, to_k_major(emb_c, A), to_k_major(sh_c, A), yb_c,
+        # NOTE: emb/sh must be in the BACKWARD kernel's block layout (A_b)
+        # — passing the forward's (A) layout mispairs the per-edge rows
+        # whenever A_b != A (caught by test_chunked_bwd_block_mismatch)
+        outs = bwd(xg, to_k_major(emb_c, A_b), to_k_major(sh_c, A_b), yb_c,
                    tuple(mlp_ws))
         if param_grads:
             dxg_km, demb_km, dsh_km, dmlp_c = outs
@@ -1031,16 +1107,20 @@ _fused_conv_chunked.defvjp(_fused_conv_chunked_fwd, _fused_conv_chunked_bwd)
 
 
 # ---------------------------------------------------------------------------
-# ring-buffer mirror backward: the memory-bounded chunked path WITHOUT the
+# ring mirror backward: the memory-bounded chunked path WITHOUT the
 # scatter-add (the 50k+ per-atom cost cliff, PLAN.md round-2 table). Atoms
 # must be cell-sorted so every edge's mirror lies within one row chunk of
-# its own row (circularly — PBC wraps the first and last cell layers); the
-# MD engine checks that bound at every rebuild and flags overflow
-# otherwise. The backward then keeps only THREE chunks of per-edge dx
-# contributions live in a ring buffer and reduces each chunk's x-cotangent
-# with the same mirror-permutation gather as the unchunked path — gather,
-# never scatter, at any system size. Chunks 0 and 1 are recomputed once at
-# the end to close the periodic wrap (2/nb overhead).
+# its own row, circularly (the MD engine measures the window host-side,
+# interleaves the y/z cell order to keep PBC-wrapped neighbors row-local,
+# and re-checks the bound at every rebuild). The backward then needs only
+# the CURRENT chunk's per-edge dx contributions: the chunks whose mirrors
+# can point into it are exactly (i-1, i, i+1), a contiguous row span in an
+# extended dx buffer with one chunk of halo rows on each end — each
+# iteration gathers the current dxg into that span (mirror-permutation
+# gather + K-fold, never scatter), and the two halo spans fold back onto
+# the wrapped chunks at the end. A first ring-buffer variant kept 3 chunks
+# of dxg live and OOM'd at 100k (3.8 GB); this one holds one transient
+# chunk and a 230 MB extended accumulator.
 # ---------------------------------------------------------------------------
 
 
@@ -1083,13 +1163,19 @@ def _fused_conv_ring_bwd(conv, mlp_spec, A, param_grads, RC, res, ybar):
     RCK = RC * K
     assert nb >= 3, "ring backward needs at least 3 row chunks"
 
-    def slc(a, start):
-        return jax.lax.dynamic_slice_in_dim(a, start, RC, 0)
+    def slc(a, start, span=1):
+        return jax.lax.dynamic_slice_in_dim(a, start, span * RC, 0)
+
+    # circular 3-chunk mirror spans: pad mir with one wrapped chunk on
+    # each end so the span for chunk i is always contiguous (tiny: int32)
+    mir_ext = jnp.concatenate([mir_nk[N - RC:], mir_nk, mir_nk[:RC]], 0)
 
     def iteration(carry, i):
-        ring, dmlp = carry
-        ci = jnp.mod(i, nb)
-        start = ci * RC
+        # accumulation happens IN-PLACE in the carry (scan aliases carry
+        # buffers): stacked ys at 100k cost ~1.5 GB of padded copies on
+        # top of the outputs themselves
+        dmlp, dx_ext, demb, dsh = carry
+        start = i * RC
         src_c = slc(src_nk, start)
         src_km = to_k_major(src_c, A_b)
         xg = x[src_km]
@@ -1102,40 +1188,47 @@ def _fused_conv_ring_bwd(conv, mlp_spec, A, param_grads, RC, res, ybar):
         )
         if param_grads:
             dxg_km, demb_km, dsh_km, dmlp_c = outs
-            live = (i < nb).astype(dmlp[0].dtype)
-            dmlp = tuple(a + live * b for a, b in zip(dmlp, dmlp_c))
+            dmlp = tuple(a + b for a, b in zip(dmlp, dmlp_c))
         else:
             dxg_km, demb_km, dsh_km = outs
-        dxg_rm = from_k_major(dxg_km, RC, K, A_b).reshape(RCK, dim_x)
-        ring = jax.lax.dynamic_update_slice_in_dim(
-            ring, dxg_rm, jnp.mod(i, 3) * RCK, 0
+        demb = jax.lax.dynamic_update_slice_in_dim(
+            demb, from_k_major(demb_km, RC, K, A_b), start, 0
         )
-        # emit dx for the PREVIOUS chunk: its mirrors span chunks
-        # (cp-1, cp, cp+1) circularly — all live in the ring right now
-        cp = jnp.mod(i - 1, nb)
-        mir_c = slc(mir_nk, cp * RC)              # (RC, K) flat in N*K
-        q = mir_c // RCK                          # target chunk
-        delta = jnp.mod(q - jnp.mod(i - 2, nb), nb)   # 0 | 1 | 2
-        slot = jnp.mod(i - 2 + delta, 3)
-        ridx = slot * RCK + (mir_c - q * RCK)
-        dx_c = jnp.sum(
-            ring[ridx.reshape(-1)].reshape(RC, K, dim_x), axis=1
+        dsh = jax.lax.dynamic_update_slice_in_dim(
+            dsh, from_k_major(dsh_km, RC, K, A_b), start, 0
         )
-        return (ring, dmlp), (
-            dx_c,
-            from_k_major(demb_km, RC, K, A_b),
-            from_k_major(dsh_km, RC, K, A_b),
+        # mirror rows of chunks (i-1, i, i+1): the only rows whose mirrors
+        # can point into chunk i (window contract). Gather straight from
+        # the K-MAJOR dxg (no row-major rematerialization).
+        m3 = slc(mir_ext, start, 3)               # (3RC, K), flat in N*K
+        q = m3 // RCK
+        sel = q == i
+        o = jnp.where(sel, m3 - i * RCK, 0)       # row-major offset in chunk
+        r_loc = o // K
+        kk = o - r_loc * K
+        km = (r_loc // A_b) * (K * A_b) + kk * A_b + r_loc - (r_loc // A_b) * A_b
+        contrib = jnp.where(
+            sel[..., None], dxg_km[km.reshape(-1)].reshape(3 * RC, K, dim_x),
+            0.0,
+        ).sum(axis=1)                             # (3RC, dim_x)
+        cur = slc(dx_ext, start, 3)
+        dx_ext = jax.lax.dynamic_update_slice_in_dim(
+            dx_ext, cur + contrib, start, 0
         )
+        return (dmlp, dx_ext, demb, dsh), None
 
     dmlp0 = tuple(jnp.zeros_like(w) for w in mlp_ws)
-    ring0 = jnp.zeros((3 * RCK, dim_x), jnp.float32)
-    (_, dmlp), (dx_ch, demb_ch, dsh_ch) = jax.lax.scan(
-        iteration, (ring0, dmlp0), jnp.arange(nb + 2, dtype=jnp.int32)
+    dx_ext0 = jnp.zeros((N + 2 * RC, dim_x), jnp.float32)
+    demb0 = jnp.zeros(emb_nk.shape, jnp.float32)
+    dsh0 = jnp.zeros(sh_nk.shape, jnp.float32)
+    (dmlp, dx_ext, demb, dsh), _ = jax.lax.scan(
+        iteration, (dmlp0, dx_ext0, demb0, dsh0),
+        jnp.arange(nb, dtype=jnp.int32),
     )
-    # iterations 2..nb+1 emitted dx for chunks 1..nb-1, 0 — rotate back
-    dx = jnp.roll(dx_ch[2:], 1, axis=0).reshape(N, dim_x)
-    demb = demb_ch[:nb].reshape(emb_nk.shape)
-    dsh = dsh_ch[:nb].reshape(sh_nk.shape)
+    # fold the wrapped halo spans back onto chunks nb-1 and 0
+    dx = dx_ext[RC : RC + N]
+    dx = dx.at[N - RC :].add(dx_ext[:RC])
+    dx = dx.at[:RC].add(dx_ext[N + RC :])
     dmlp = tuple(g.astype(w.dtype) for g, w in zip(dmlp, mlp_ws))
     return (
         dmlp,

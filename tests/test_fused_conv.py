@@ -167,6 +167,43 @@ def test_fused_chunked_matches_unchunked(param_grads):
                                        atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("saved", [True, False])
+def test_fused_bwd_block_mismatch(monkeypatch, saved):
+    """Backward block size != forward block size (A_b != A) must still pair
+    the per-edge rows correctly — regression for the chunked backward
+    passing emb/sh in the FORWARD's k-major layout to a backward kernel
+    built at a different block size (wrong forces at 100k-scale, where
+    A=32/A_b=16). ``saved=False`` also pins the regather (non-saved-xg)
+    mode of the unchunked rule."""
+    import sevennet_tpu.ops.fused_conv as fc
+
+    monkeypatch.setenv("SEVENNET_TPU_BWD_A", "8")
+    if not saved:
+        monkeypatch.setenv("SEVENNET_TPU_SAVE_XG", "1")
+    fc._KERNEL_CACHE.clear()
+    try:
+        conv, mlp, mlp_p, x, emb, sh, src, mir, mask = _setup(N=32, K=8)
+        cot = jax.random.normal(jax.random.PRNGKey(9),
+                                (x.shape[0], conv.irreps_mid.dim)) * 0.1
+
+        def loss(xx, rc):
+            out = fused_conv_apply(conv, mlp, mlp_p, xx, emb, sh, src, mir,
+                                   block_atoms=16, param_grads=False,
+                                   row_chunk=rc)
+            return jnp.sum(out * cot)
+
+        def loss_ref(xx):
+            return jnp.sum(_xla_ref(conv, mlp, mlp_p, xx, emb, sh, src) * cot)
+
+        gr = jax.grad(loss_ref)(x)
+        for rc in (0, 16):
+            gf = jax.grad(loss, argnums=0)(x, rc)
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       atol=3e-5, rtol=1e-4)
+    finally:
+        fc._KERNEL_CACHE.clear()
+
+
 @pytest.mark.parametrize("x_str,lmax,sph_p", [
     # l3i5-like: lmax 3, SO(3) (reference presets/sevennet-l3i5.yaml:1-30)
     ("4x0e+4x1e+4x2e+4x3e", 3, 1),

@@ -436,6 +436,7 @@ def test_engine_ring_backward_matches_dense(monkeypatch):
 
     monkeypatch.setenv("SEVENNET_TPU_CHUNK_THRESHOLD", "1")
     monkeypatch.setenv("SEVENNET_TPU_TARGET_T", "128")
+    monkeypatch.setenv("SEVENNET_TPU_RING", "1")  # default off (perf)
     import sevennet_tpu.ops.fused_conv as fc
 
     fc._KERNEL_CACHE.clear()
@@ -456,9 +457,9 @@ def test_engine_ring_backward_matches_dense(monkeypatch):
     })
     params = model_init(jax.random.PRNGKey(0), spec)
     rng = np.random.default_rng(7)
-    cell = np.eye(3) * 18.0
-    pos = rng.uniform(0, 18.0, (96, 3))
-    Z = np.where(rng.random(96) < 0.5, 1, 8)
+    cell = np.eye(3) * 26.0
+    pos = rng.uniform(0, 26.0, (240, 3))
+    Z = np.where(rng.random(240) < 0.5, 1, 8)
 
     e_ring = MDEngine(spec, params, cell, fused=True)
     s_ring = e_ring.make_state(pos, Z, temperature=50.0, seed=3)
