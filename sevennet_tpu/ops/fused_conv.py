@@ -323,14 +323,44 @@ def make_fused_conv_fwd(
     inv_sqrt = [1.0 / math.sqrt(d) for d in mlp_spec.dims[:-1]]
 
     def _kfold(acc):
-        """(mul, T) k-major lanes -> (mul, A) via roll+add lane folds."""
+        """(mul, T) k-major lanes -> (mul, A) via fold-add lane reductions.
+
+        Folds whose half-width is a multiple of the 128-lane tile are
+        plain aligned slice-adds (no lane rotation — ~3x cheaper than
+        ``pltpu.roll``; the roll chain was HALF the forward kernel cost,
+        scripts_dev/r3_fwd_knockout.py). A peel-to-power-of-two step
+        keeps the chain aligned for any K divisible by 4 at A=32
+        (72 -> 36 -> [peel 4] 32 -> 16 -> 8 -> 4, all aligned); rolls
+        remain only for the narrow (<=4-chunk) tail.
+        """
         kcur = K
         while kcur > 1:
             w = kcur * A
+            half_k = kcur // 2
+            if kcur % 2 == 0 and (half_k * A) % 128 == 0:
+                half = half_k * A
+                acc = acc[:, :half] + acc[:, half:w]
+                kcur = half_k
+                continue
+            p2 = 1 << (kcur.bit_length() - 1)
+            if p2 == kcur:
+                p2 //= 2
+            tail_k = kcur - p2
+            if (
+                0 < tail_k <= p2
+                and (p2 * A) % 128 == 0
+                and (tail_k * A) % 128 == 0
+            ):
+                tw = tail_k * A
+                head = acc[:, : p2 * A]
+                folded = head[:, :tw] + acc[:, p2 * A : w]
+                acc = jnp.concatenate([folded, head[:, tw:]], axis=1)
+                kcur = p2
+                continue
             if kcur % 2 == 0:
-                half = (kcur // 2) * A
+                half = half_k * A
                 acc = acc[:, :half] + pltpu.roll(acc, w - half, 1)[:, :half]
-                kcur //= 2
+                kcur = half_k
             else:
                 head = acc[:, : (kcur - 1) * A]
                 tail = pltpu.roll(acc, A, 1)[:, :A]  # last chunk to front
