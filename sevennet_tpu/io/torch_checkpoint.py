@@ -77,6 +77,59 @@ def patch_old_config(config: Dict[str, Any]) -> Dict[str, Any]:
     return cfg
 
 
+def sort_old_conv_weights(spec: ModelSpec, sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Permute pre-v0.11 convolution weights into sorted-instruction order.
+
+    Reference checkpoints older than 0.11 store the radial-MLP output
+    columns in TP *construction* order; newer code (and this framework)
+    uses instructions sorted by output block. The reference permutes (and
+    sign-fixes w3j-flipped paths) at load time
+    (``sevenn/scripts/backward_compatibility.py:79-160``); this is the same
+    patch. Sign fixes compare any stored ``_w3j_{l1}_{l2}_{l3}`` buffers
+    against our Wigner tables and flip the corresponding weight columns, so
+    results are invariant to the checkpoint's CG sign convention.
+    """
+    from ..so3 import real_wigner_3j
+
+    sd = dict(sd)
+    for layer in spec.layers:
+        t = layer.t
+        conv = layer.conv
+        if tuple(i[:3] for i in conv.instructions) == tuple(conv.instructions_enum):
+            continue  # orders coincide; nothing to do
+        n_last = len(layer.radial_mlp.dims) - 2
+        key = f"{t}_convolution.weight_nn.layer{n_last}.weight"
+        ww = np.asarray(sd[key])
+        blocks: Dict[Tuple[int, int, int], np.ndarray] = {}
+        off = 0
+        for (i, j, k) in conv.instructions_enum:
+            mul = conv.irreps_x[i].mul * conv.irreps_filter[j].mul
+            blk = ww[:, off : off + mul]
+            l1 = conv.irreps_x[i].ir.l
+            l2 = conv.irreps_filter[j].ir.l
+            l3 = conv.irreps_mid[k].ir.l
+            if l1 > 0 and l2 > 0 and l3 > 0:
+                bkey = (
+                    f"{t}_convolution.convolution._compiled_main_left_right."
+                    f"_w3j_{l1}_{l2}_{l3}"
+                )
+                if bkey in sd:
+                    mine = np.asarray(real_wigner_3j(l1, l2, l3))
+                    stored = np.asarray(sd[bkey], dtype=np.float64)
+                    if not np.allclose(stored, mine, atol=1e-6):
+                        assert np.allclose(stored, -mine, atol=1e-6), (
+                            f"stored w3j {bkey} matches neither sign"
+                        )
+                        blk = -blk
+            blocks[(i, j, k)] = blk
+            off += mul
+        assert off == ww.shape[1], (off, ww.shape)
+        sd[key] = np.concatenate(
+            [blocks[ins[:3]] for ins in conv.instructions], axis=1
+        )
+    return sd
+
+
 def spec_config_from_checkpoint(config: Dict[str, Any], sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """Extract a numeric model config: string placeholders like
     'avg_num_neigh' shift/scale are replaced by the resolved values stored in
@@ -173,5 +226,15 @@ def load_sevennet_checkpoint(path: str, dtype=None) -> Tuple[ModelSpec, Dict[str
     sd = patch_old_state_dict(_to_numpy_state_dict(cp["model_state_dict"]))
     cfg = spec_config_from_checkpoint(patch_old_config(cp["config"]), sd)
     spec = build_model_spec(cfg)
+    if _version_lt(str(cp["config"].get("version", "0.0.0")), (0, 11, 0)):
+        sd = sort_old_conv_weights(spec, sd)
     params = params_from_torch_state_dict(spec, sd, dtype=dtype)
     return spec, params
+
+
+def _version_lt(version: str, ref: Tuple[int, int, int]) -> bool:
+    try:
+        parts = tuple(int(x) for x in version.split(".")[:3])
+    except ValueError:
+        return True
+    return parts < ref

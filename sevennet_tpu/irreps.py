@@ -40,7 +40,12 @@ class Irrep:
         return 2 * self.l + 1
 
     def _sort_key(self) -> Tuple[int, int]:
-        return (self.l, -self.p * (-1) ** self.l)
+        # e3nn irrep ordering: by l, odd parity first (0o < 0e < 1o < 1e
+        # < 2o < 2e ...). Verified against reference *execution*: the frozen
+        # TorchScript of /root/reference/example_inputs/md_serial_example/
+        # deployed_serial.pt lays out sorted conv-mid blocks as
+        # [0o, 0e, 1o, 1e] (see tests/test_deployed_golden.py).
+        return (self.l, self.p)
 
     def __lt__(self, other: "Irrep") -> bool:
         return self._sort_key() < other._sort_key()

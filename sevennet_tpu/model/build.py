@@ -262,11 +262,16 @@ def build_model_spec(config: Dict[str, Any]) -> ModelSpec:
     if isinstance(sc_type_list, str):
         sc_type_list = [sc_type_list] * num_conv
 
+    # pre-v0.9 reference builders kept the last interaction layer full
+    # (no lmax-0/even override); the readout linear drops non-scalars.
+    # Needed to rebuild old deployed artifacts (io/torchscript_import.py).
+    full_last_layer = bool(cfg.get("_full_last_layer", False))
+
     layers = []
     for t in range(num_conv):
         parity_mode = "full"
         cur_lmax = lmax_node
-        if t == num_conv - 1:
+        if t == num_conv - 1 and not full_last_layer:
             cur_lmax = 0
             parity_mode = "even"
         irreps_out = (
@@ -341,7 +346,8 @@ def build_model_spec(config: Dict[str, Any]) -> ModelSpec:
             act=str(cfg["readout_fcn_activation"]),
         )
     else:
-        hidden = Irreps([(irreps_x.dim // 2, (0, 1))])
+        hidden_mul = int(cfg.get("_readout_hidden_mul", 0)) or irreps_x.dim // 2
+        hidden = Irreps([(hidden_mul, (0, 1))])
         readout1 = LinearSpec(
             _with_modal(irreps_x, m_out, "reduce_input_to_hidden"),
             hidden,

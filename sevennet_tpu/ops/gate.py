@@ -1,8 +1,13 @@
 """Equivariant gate nonlinearity (e3nn ``nn.Gate`` equivalent).
 
-Input layout: ``scalars + gates + gated`` (concatenated irreps, in that
-order, exactly the ``get_gate_irreps_in`` convention of the reference
-``EquivariantGate``, ``sevenn/nn/equivariant_gate.py:13-59``). Output:
+Input layout: e3nn's ``_Sortcut`` convention — the scalar part is
+``(irreps_scalars + irreps_gates)`` *stably sorted by irrep and
+simplified*, followed by the gated irreps (this is what the reference's
+``EquivariantGate.get_gate_irreps_in`` returns,
+``sevenn/nn/equivariant_gate.py:50-55``; verified against the frozen
+reference TorchScript in tests/test_deployed_golden.py). When scalars and
+gates are all ``0e`` (every non-parity model) the sort is a no-op and the
+layout degenerates to plain ``scalars + gates + gated``. Output:
 ``act(scalars) + act(gates) * gated``.
 
 The elementwise product with a scalar gate is exactly multiplicative: the
@@ -36,6 +41,9 @@ class GateSpec:
     irreps_scalars: Irreps = field(default=Irreps())
     irreps_gates: Irreps = field(default=Irreps())
     irreps_gated: Irreps = field(default=Irreps())
+    # e3nn _Sortcut layout of the scalar part: (('s'|'g', entry_index), ...)
+    # in input order — the stable sort of scalars+gates by irrep
+    sc_entries: Tuple[Tuple[str, int], ...] = field(default=())
 
     def __post_init__(self):
         if len(self.irreps_scalars) or len(self.irreps_gates) or len(self.irreps_gated):
@@ -44,13 +52,21 @@ class GateSpec:
         gated = [mi for mi in self.irreps_out if mi.ir.l > 0]
         gate_p = 1 if any(mi.ir.p == 1 for mi in scalars) else -1
         gates = [MulIrrep(mi.mul, Irrep(0, gate_p)) for mi in gated]
+        entries = [("s", i) for i in range(len(scalars))] + [
+            ("g", i) for i in range(len(gates))
+        ]
+        pool = {"s": scalars, "g": gates}
+        entries.sort(key=lambda e: pool[e[0]][e[1]].ir._sort_key())  # stable
         object.__setattr__(self, "irreps_scalars", Irreps(scalars))
         object.__setattr__(self, "irreps_gates", Irreps(gates))
         object.__setattr__(self, "irreps_gated", Irreps(gated))
+        object.__setattr__(self, "sc_entries", tuple(entries))
 
     @property
     def irreps_in(self) -> Irreps:
-        return self.irreps_scalars + self.irreps_gates + self.irreps_gated
+        pool = {"s": self.irreps_scalars, "g": self.irreps_gates}
+        head = Irreps([pool[kind][i] for kind, i in self.sc_entries])
+        return head.simplify() + self.irreps_gated
 
     def _act(self, table, p: int):
         d = dict(table)
@@ -70,23 +86,29 @@ def gate_apply(spec: GateSpec, x):
     """
     n_s = spec.irreps_scalars.dim
     n_g = spec.irreps_gates.dim
-    scalars = x[..., :n_s]
-    gates = x[..., n_s : n_s + n_g]
-    gated = x[..., n_s + n_g :]
+    # split the sortcut head back into scalar / gate blocks (e3nn _Sortcut
+    # inverse): walk the stably-sorted entries and route each block
+    pool = {"s": spec.irreps_scalars, "g": spec.irreps_gates}
+    s_blocks = [None] * len(spec.irreps_scalars)
+    g_blocks = [None] * len(spec.irreps_gates)
+    off = 0
+    for kind, i in spec.sc_entries:
+        mi = pool[kind][i]
+        blk = x[..., off : off + mi.dim]
+        (s_blocks if kind == "s" else g_blocks)[i] = blk
+        off += mi.dim
+    assert off == n_s + n_g
+    gated = x[..., off:]
 
     pieces = []
-    off = 0
-    for mi in spec.irreps_scalars:
+    for mi, blk in zip(spec.irreps_scalars, s_blocks):
         act = spec._act(spec.act_scalar, mi.ir.p)
-        pieces.append(act(scalars[..., off : off + mi.dim]))
-        off += mi.dim
+        pieces.append(act(blk))
     # activate gates
     g_act = []
-    off = 0
-    for mi in spec.irreps_gates:
+    for mi, blk in zip(spec.irreps_gates, g_blocks):
         act = spec._act(spec.act_gate, mi.ir.p)
-        g_act.append(act(gates[..., off : off + mi.dim]))
-        off += mi.dim
+        g_act.append(act(blk))
     # multiply gated blocks (ir_mul layout: (2l+1, mul), gate broadcasts
     # over the spherical dimension)
     off = 0

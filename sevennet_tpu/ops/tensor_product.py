@@ -56,6 +56,11 @@ class ConvTPSpec:
     irreps_mid: Irreps = field(default=Irreps())
     # (i_in1, i_in2, i_out_sorted, path_weight), sorted by i_out
     instructions: Tuple[Tuple[int, int, int, float], ...] = field(default=())
+    # same triples in construction (enumeration) order: the weight layout of
+    # pre-v0.11 reference checkpoints and frozen TorchScript deployments
+    # (reference sorts instructions since v0.11 for cuEq compatibility and
+    # permutes old weights at load: sevenn/scripts/backward_compatibility.py:79-160)
+    instructions_enum: Tuple[Tuple[int, int, int], ...] = field(default=())
 
     def __post_init__(self):
         if self.instructions:
@@ -72,6 +77,7 @@ class ConvTPSpec:
         irreps_mid = Irreps(mid)
         irreps_mid_sorted, p, _ = irreps_mid.sort()
         ins = [(i, j, p[k]) for (i, j, k) in ins]
+        ins_enum = tuple(ins)
         ins.sort(key=lambda t: t[2])
         # path weights: fan = sum of num_elements (mul2) over same output block;
         # each uvu instruction has its own output block here so fan = mul2.
@@ -89,6 +95,7 @@ class ConvTPSpec:
         )
         object.__setattr__(self, "irreps_mid", irreps_mid_sorted)
         object.__setattr__(self, "instructions", full)
+        object.__setattr__(self, "instructions_enum", ins_enum)
 
     @property
     def weight_numel(self) -> int:

@@ -65,9 +65,12 @@ def test_golden_regression(small_spec_params, hfo2_structure):
     gb = build_graph(spec, pos, Z, cell, n_atoms_cap=16, n_edges_cap=300)
     out = compute(spec, params, gb)
     e = float(out["energy"][0])
-    assert abs(e - 0.86126786) < 2e-5, e
+    # Values re-frozen after the round-4 e3nn-semantics fixes (irrep sort
+    # order 0o<0e, gate _Sortcut head layout) that were pinned against the
+    # reference's own deployed TorchScript (tests/test_deployed_golden.py).
+    assert abs(e - 0.06793477) < 2e-5, e
     f = np.asarray(out["forces"])
-    assert abs(float(f[3, 1]) - 0.00782480) < 2e-5
+    assert abs(float(f[3, 1]) - (-0.00923972)) < 2e-5
     s = np.asarray(out["stress"])[0]
     assert np.isfinite(s).all()
 

@@ -1,0 +1,151 @@
+"""Golden parity vs the reference's OWN executable artifacts.
+
+The reference ships frozen TorchScript deployments that load with plain
+torch (no e3nn needed):
+
+- ``/root/reference/example_inputs/md_serial_example/deployed_serial.pt``
+  (serial LAMMPS model, ``/root/reference/sevenn/scripts/deploy.py:16-77``)
+- ``/root/reference/example_inputs/md_parallel_example/deployed_parallel/``
+  (the layer-split segments, ``deploy.py:80-178``)
+
+These tests run the TorchScript black-box as the ground truth — actual
+reference *execution*, not a re-implementation — and assert E/F/S parity
+against this framework with weights imported from the same artifact
+(``sevennet_tpu/io/torchscript_import.py``). This mirrors the reference's
+golden-test pillar (``/root/reference/tests/unit_tests/test_pretrained.py:32-62``)
+and retires the "builder-authored evaluator" caveat: any correlated
+misreading of e3nn semantics fails here.
+
+Input contract for the serial artifact replicated from
+``/root/reference/sevenn/pair_e3gnn/pair_e3gnn.cpp:136-207``.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+DEPLOYED = "/root/reference/example_inputs/md_serial_example/deployed_serial.pt"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(DEPLOYED), reason="reference artifacts not present"
+)
+
+
+def _structures():
+    """Three 12-atom jittered fluorite-like HfO2 cells: cubic, strained
+    cubic, and triclinic (exercises PBC shift handling)."""
+    frac = np.array(
+        [
+            [0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5],
+            [0.25, 0.25, 0.25], [0.75, 0.75, 0.25], [0.75, 0.25, 0.75],
+            [0.25, 0.75, 0.75], [0.75, 0.75, 0.75], [0.25, 0.25, 0.75],
+            [0.25, 0.75, 0.25], [0.75, 0.25, 0.25],
+        ]
+    )
+    Z = np.array([72] * 4 + [8] * 8)
+    out = []
+    for seed, cell in (
+        (42, np.eye(3) * 5.1),
+        (7, np.diag([4.9, 5.2, 5.35])),
+        (3, np.array([[5.1, 0, 0], [0.6, 5.0, 0], [0.3, -0.4, 5.3]])),
+    ):
+        rng = np.random.default_rng(seed)
+        pos = frac @ cell + rng.normal(scale=0.05, size=(12, 3))
+        out.append((pos, Z, cell))
+    return out
+
+
+def _run_torch(module, syms, pos, Z, cell, cutoff):
+    """Drive the deployed (v0.8.6) TorchScript model the way
+    ``pair_e3gnn.cpp:136-207`` does. Its embedded EdgePreprocess computes
+    ``edge_vec = pos[edge_index[1]] - pos[edge_index[0]] + shift @ cell``
+    so row 0 is the receiver and row 1 the sender."""
+    from sevennet_tpu.data import neighbor_list_numpy
+
+    sym_of_z = {72: "Hf", 8: "O"}
+    types = np.array([syms.index(sym_of_z[z]) for z in Z])
+    dst, src, shifts = neighbor_list_numpy(pos, cutoff, cell, True)
+    pos_t = torch.tensor(pos, dtype=torch.float32, requires_grad=True)
+    data = {
+        "x": torch.tensor(types, dtype=torch.long),
+        "pos": pos_t,
+        "cell_lattice_vectors": torch.tensor(cell, dtype=torch.float32),
+        "pbc_shift": torch.tensor(shifts, dtype=torch.float32),
+        "cell_volume": torch.tensor(
+            abs(np.linalg.det(cell)), dtype=torch.float32
+        ),
+        "edge_index": torch.tensor(np.stack([dst, src]), dtype=torch.long),
+        "batch": torch.zeros(len(pos), dtype=torch.long),
+        "num_atoms": torch.tensor([len(pos)], dtype=torch.long),
+        "nlocal": torch.tensor([len(pos)], dtype=torch.long),
+    }
+    out = module(data)
+    e = float(out["inferred_total_energy"].squeeze().detach())
+    f = out["inferred_force"].detach().numpy()
+    s = out["inferred_stress"].detach().numpy()
+    return e, f, s
+
+
+@pytest.fixture(scope="module")
+def deployed():
+    ef = {"chemical_symbols_to_index": b"", "cutoff": b""}
+    m = torch.jit.load(DEPLOYED, map_location="cpu", _extra_files=ef)
+    m.eval()
+    return m, ef["chemical_symbols_to_index"].decode().split(), float(
+        ef["cutoff"].decode()
+    )
+
+
+@pytest.fixture(scope="module")
+def imported():
+    from sevennet_tpu.io.torchscript_import import load_deployed_model
+
+    return load_deployed_model(DEPLOYED)
+
+
+@pytest.mark.smoke
+def test_import_metadata(imported, deployed):
+    from sevennet_tpu.model.build import CHEMICAL_SYMBOLS
+
+    spec, _ = imported
+    _, syms, cutoff = deployed
+    assert spec.cutoff == cutoff
+    sym_by_type = {t: CHEMICAL_SYMBOLS[z] for z, t in spec.type_map}
+    assert [sym_by_type[t] for t in range(spec.num_species)] == syms
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("idx", [0, 1, 2])
+def test_serial_deployed_parity(imported, deployed, idx):
+    import jax
+
+    from sevennet_tpu.data import (
+        batch_graphs,
+        graph_from_arrays,
+        neighbor_list_numpy,
+    )
+    from sevennet_tpu.model.model import model_compute
+
+    spec, params = imported
+    module, syms, cutoff = deployed
+    pos, Z, cell = _structures()[idx]
+
+    e_t, f_t, s_t = _run_torch(module, syms, pos, Z, cell, cutoff)
+
+    species = spec.z_to_type[Z]
+    dst, src, shifts = neighbor_list_numpy(pos, cutoff, cell, True)
+    g = graph_from_arrays(pos, species, src, dst, shifts, cell)
+    gb = batch_graphs([g], n_atoms_cap=16, n_edges_cap=512)
+    out = jax.jit(lambda p, g: model_compute(spec, p, g))(params, gb)
+    e_j = float(out["energy"][0])
+    f_j = np.asarray(out["forces"])[: len(pos)]
+    s_j = np.asarray(out["stress"])[0]
+
+    assert abs(e_t - e_j) < 2e-4, (e_t, e_j)
+    d = np.abs(f_t - f_j)
+    assert d.max() < 5e-4, d.max()  # eV/A, fp32 both sides
+    assert d.mean() < 1e-4, d.mean()
+    assert np.abs(s_t - s_j).max() < 5e-5

@@ -10,10 +10,13 @@ def test_parse_repr():
 
 
 def test_sort_order():
-    # e3nn canonical order: 0e < 0o < 1o < 1e < 2e < 2o
+    # e3nn canonical order: 0o < 0e < 1o < 1e < 2o < 2e — by (l, p), odd
+    # first.  Pinned against reference *execution*: the frozen TorchScript
+    # deployment lays out sorted conv-mid blocks as [0o, 0e, 1o, 1e]
+    # (tests/test_deployed_golden.py).
     ir = Irreps("1x2o+1x0o+1x1e+1x0e+1x2e+1x1o")
     srt, p, inv = ir.sort()
-    assert repr(srt) == "1x0e+1x0o+1x1o+1x1e+1x2e+1x2o"
+    assert repr(srt) == "1x0o+1x0e+1x1o+1x1e+1x2o+1x2e"
     # p maps old->new; check roundtrip
     assert [ir[i] for i in inv] == list(srt)
 
@@ -50,4 +53,4 @@ def test_infer_irreps_parity():
     assert repr(out) == "4x0e+4x1o+4x2e"
     x2 = out
     out2 = infer_irreps_out(x2, f, 2, "full", 4)
-    assert repr(out2) == "4x0e+4x1o+4x1e+4x2e+4x2o"
+    assert repr(out2) == "4x0e+4x1o+4x1e+4x2o+4x2e"

@@ -99,7 +99,9 @@ def test_gate_scalar_identity_structure():
         (("e", "silu"), ("o", "tanh")),
         (("e", "silu"), ("o", "tanh")),
     )
-    assert repr(spec.irreps_in) == "4x0e+2x0e+2x1o"
+    # e3nn _Sortcut head: scalars+gates sorted and *simplified* (4x0e and
+    # the 2x0e gates merge into 6x0e)
+    assert repr(spec.irreps_in) == "6x0e+2x1o"
     x = jnp.concatenate(
         [jnp.zeros((1, 4)), jnp.ones((1, 2)) * 0.5, jnp.ones((1, 6))], axis=-1
     )

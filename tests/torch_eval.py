@@ -225,11 +225,11 @@ def poly_cutoff(r, cutoff, p=6):
     return 1.0 - c0 * x**p + c1 * x ** (p + 1) - c2 * x ** (p + 2)
 
 
-def sph_harm(lmax, vec):
-    """Component-normalized real SH of normalized vec, (E, (lmax+1)^2)."""
+def sph_harm(lmax, vec, normalize=True):
+    """Component-normalized real SH of (optionally normalized) vec."""
     from sevennet_tpu.so3.spherical import monomials, sh_coefficients
 
-    v = vec / vec.norm(dim=-1, keepdim=True)
+    v = vec / vec.norm(dim=-1, keepdim=True) if normalize else vec
     x, y, z = v[:, 0], v[:, 1], v[:, 2]
     cols = []
     for l in range(lmax + 1):
@@ -287,7 +287,9 @@ class ConvTP:
     """uvu TensorProduct with external weights, reference instruction order
     (sevenn/nn/convolution.py:61-83)."""
 
-    def __init__(self, irreps_x, irreps_filter, irreps_target, w3j):
+    def __init__(self, irreps_x, irreps_filter, irreps_target, w3j,
+                 old_weight_order=False):
+        self.old_weight_order = old_weight_order
         self.irreps_x = parse_irreps(irreps_x)
         self.irreps_f = parse_irreps(irreps_filter)
         target = {(l, p) for _, l, p in parse_irreps(irreps_target)}
@@ -299,18 +301,21 @@ class ConvTP:
                     if (l3, p3) in target:
                         ins.append((i, j, len(mid)))
                         mid.append((mul, l3, p3))
-        # e3nn Irreps.sort: stable by (l, -p*(-1)^l) — 0e,0o,1o,1e,2e,2o,...
+        # e3nn Irreps.sort: stable by (l, p) — 0o,0e,1o,1e,2o,2e,... (verified
+        # against the reference's frozen TorchScript deployment, see
+        # tests/test_deployed_golden.py)
         order = sorted(
-            range(len(mid)),
-            key=lambda k: (mid[k][1], -mid[k][2] * (-1) ** mid[k][1]),
+            range(len(mid)), key=lambda k: (mid[k][1], mid[k][2])
         )
         perm = [0] * len(mid)
         for newk, oldk in enumerate(order):
             perm[oldk] = newk
         self.irreps_mid = [mid[k] for k in order]
-        ins = sorted(
-            [(i, j, perm[k]) for (i, j, k) in ins], key=lambda t: t[2]
-        )
+        ins = [(i, j, perm[k]) for (i, j, k) in ins]
+        if not self.old_weight_order:
+            # v0.11+ reference sorts instructions (= weight slices) by
+            # output block; pre-0.11 checkpoints keep construction order
+            ins = sorted(ins, key=lambda t: t[2])
         fan = {}
         for i, j, k in ins:
             fan[k] = fan.get(k, 0) + self.irreps_f[j][0]
@@ -419,28 +424,36 @@ def weight_nn(emb, layers, act_name="silu"):
 
 
 def gate(x, irreps_out, act_scalar, act_gate):
-    """e3nn Gate; input = scalars + gates + gated (mul_ir layout)."""
+    """e3nn Gate. Input head = (scalars + gates) stably sorted by irrep
+    (the ``_Sortcut`` layout), then the gated irreps."""
     irreps = parse_irreps(irreps_out)
     scalars = [(m, l, p) for m, l, p in irreps if l == 0]
     gated = [(m, l, p) for m, l, p in irreps if l > 0]
     gate_p = 1 if any(p == 1 for _, _, p in scalars) else -1
-    n_s = sum(m for m, _, _ in scalars)
-    n_g = sum(m for m, _, _ in gated)
-    xs, xg, xv = x[:, :n_s], x[:, n_s : n_s + n_g], x[:, n_s + n_g :]
-    cols = []
+    gates = [(m, 0, gate_p) for m, _, _ in gated]
+    entries = [("s", i) for i in range(len(scalars))] + [
+        ("g", i) for i in range(len(gates))
+    ]
+    pool = {"s": scalars, "g": gates}
+    entries.sort(key=lambda e: (pool[e[0]][e[1]][1], pool[e[0]][e[1]][2]))
+    s_blk = [None] * len(scalars)
+    g_blk = [None] * len(gates)
     off = 0
-    for m, l, p in scalars:
-        name = act_scalar["e" if p == 1 else "o"]
-        cols.append(act(name, xs[:, off : off + m]))
+    for kind, i in entries:
+        m = pool[kind][i][0]
+        (s_blk if kind == "s" else g_blk)[i] = x[:, off : off + m]
         off += m
-    goff = 0
+    xv = x[:, off:]
+    cols = []
+    for (m, l, p), blk in zip(scalars, s_blk):
+        name = act_scalar["e" if p == 1 else "o"]
+        cols.append(act(name, blk))
     voff = 0
-    for m, l, p in gated:
+    for (m, l, p), gb in zip(gated, g_blk):
         name = act_gate["e" if gate_p == 1 else "o"]
-        g = act(name, xg[:, goff : goff + m])
+        g = act(name, gb)
         blk = xv[:, voff : voff + m * ir_dim(l)].reshape(-1, m, ir_dim(l))
         cols.append((blk * g.unsqueeze(-1)).reshape(-1, m * ir_dim(l)))
-        goff += m
         voff += m * ir_dim(l)
     return torch.cat(cols, dim=-1)
 
@@ -464,6 +477,13 @@ def evaluate(cp_path, pos, Z, cell, layer_plan):
     cp = torch.load(cp_path, map_location="cpu", weights_only=False)
     sd = {k: v for k, v in cp["model_state_dict"].items()}
     cfg = cp["config"]
+    ver = tuple(int(x) for x in str(cfg.get("version", "0.0.0")).split(".")[:2])
+    return evaluate_state(sd, cfg, pos, Z, cell, layer_plan,
+                          old_weight_order=ver < (0, 11))
+
+
+def evaluate_state(sd, cfg, pos, Z, cell, layer_plan, old_weight_order=False,
+                   capture=None):
     cutoff = float(cfg["cutoff"])
     type_map = cfg["_type_map"]
     n_species = len(type_map)
@@ -488,7 +508,7 @@ def evaluate(cp_path, pos, Z, cell, layer_plan):
     r = edge_vec.norm(dim=-1)
     coeffs = sd["edge_embedding.basis_function.coeffs"].to(torch.float64)
     emb = bessel(r, coeffs, cutoff) * poly_cutoff(r, cutoff).unsqueeze(-1)
-    sh = sph_harm(lmax, edge_vec)
+    sh = sph_harm(lmax, edge_vec, normalize=cfg.get("_normalize_sph", True))
 
     types = torch.as_tensor([type_map[int(z)] for z in Z], dtype=torch.long)
     onehot = torch.nn.functional.one_hot(types, n_species).to(torch.float64)
@@ -511,7 +531,8 @@ def evaluate(cp_path, pos, Z, cell, layer_plan):
         si1 = Linear(lp["x"], lp["x"],
                      sd[f"{t}_self_interaction_1.linear.weight"])
         x = si1(x)
-        conv = ConvTP(lp["x"], lp["filter"], lp["target"], w3j)
+        conv = ConvTP(lp["x"], lp["filter"], lp["target"], w3j,
+                      old_weight_order=old_weight_order)
         mlp_ws = [sd[f"{t}_convolution.weight_nn.layer{i}.weight"]
                   for i in range(3)]
         assert mlp_ws[-1].shape[1] == conv.weight_numel
@@ -529,6 +550,8 @@ def evaluate(cp_path, pos, Z, cell, layer_plan):
         x = si2(x)
         x = x + sc_out
         x = gate(x, lp["out"], cfg["act_scalar"], cfg["act_gate"])
+        if capture is not None:
+            capture[f"x_{t}"] = x.detach().clone()
 
     ro1 = Linear(layer_plan["layers"][-1]["out"], layer_plan["readout_hidden"],
                  sd["reduce_input_to_hidden.linear.weight"])
