@@ -1,56 +1,118 @@
-"""Pretrained checkpoint registry: name -> path resolution + a universal
-loader.
+"""Pretrained checkpoint registry: name -> path -> URL resolution, download,
+and a universal loader.
 
 TPU counterpart of the reference's pretrained-model resolution
 (``sevenn/util.py:264-359``, ``sevenn/_const.py:50-68``): the same model
-names resolve through a search path of local directories. This image has no
-network egress, so instead of auto-downloading we report the official
-release URL and the directories searched; drop the ``.pth`` there once and
-every API (calculator, CLI, MD engine) picks it up by name.
+names resolve through a search path of local directories; when a release
+URL is known and the file is missing, it is downloaded into the cache with
+partial-download cleanup (reference: ``util.download_checkpoint``,
+``util.py:224-261``). Without network egress a clean error reports the URL
+and the directories searched; drop the ``.pth`` there once and every API
+(calculator, CLI, MD engine) picks it up by name.
 """
 
 from __future__ import annotations
 
 import os
 import os.path as osp
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 __all__ = [
     "resolve_checkpoint",
+    "download_checkpoint",
     "get_available_pretrained_models",
     "load_model",
 ]
 
 _GIT = "https://github.com/MDIL-SNU/SevenNet/releases/download"
 
-# canonical name -> (checkpoint basename, release URL or None)
-_REGISTRY: Dict[str, Tuple[str, Optional[str]]] = {
-    "sevennet-0": ("checkpoint_sevennet_0.pth", None),
-    "sevennet-0_11jul2024": ("checkpoint_sevennet_0.pth", None),
-    "sevennet-0_22may2024": ("checkpoint_sevennet_0_22May2024.pth", None),
-    "sevennet-l3i5": ("checkpoint_l3i5.pth", None),
-    "sevennet-mf-0": ("checkpoint_sevennet_mf_0.pth", None),
-    "sevennet-mf-ompa": (
+
+class _Entry(NamedTuple):
+    basename: str
+    url: Optional[str] = None  # official release asset, if one exists
+    sha256: Optional[str] = None  # verified after download when known
+
+
+# canonical name -> entry. Names/URLs mirror the reference's table
+# (``_const.py:50-68``). 7net-0 / l3i5 / mf-0 ship inside the reference's
+# pip sdist rather than as release assets, so they have no URL; the error
+# message points users at the cache directory instead.
+_REGISTRY: Dict[str, _Entry] = {
+    "sevennet-0": _Entry("checkpoint_sevennet_0.pth"),
+    "sevennet-0_11jul2024": _Entry("checkpoint_sevennet_0.pth"),
+    "sevennet-0_22may2024": _Entry("checkpoint_sevennet_0_22May2024.pth"),
+    "sevennet-l3i5": _Entry("checkpoint_l3i5.pth"),
+    "sevennet-mf-0": _Entry("checkpoint_sevennet_mf_0.pth"),
+    "sevennet-mf-ompa": _Entry(
         "checkpoint_sevennet_mf_ompa.pth",
         f"{_GIT}/v0.11.0.cp/checkpoint_sevennet_mf_ompa.pth",
     ),
-    "sevennet-omat": (
+    "sevennet-omat": _Entry(
         "checkpoint_sevennet_omat.pth",
         f"{_GIT}/v0.11.0.cp/checkpoint_sevennet_omat.pth",
     ),
-    "sevennet-omni": (
+    "sevennet-omni": _Entry(
         "checkpoint_sevennet_omni.pth",
         f"{_GIT}/v0.12.0.cp/checkpoint_sevennet_omni.pth",
     ),
-    "sevennet-omni-i8": (
+    "sevennet-omni-i8": _Entry(
         "checkpoint_sevennet_omni_i8.pth",
         f"{_GIT}/v0.12.1.cp/checkpoint_sevennet_omni_i8.pth",
     ),
-    "sevennet-omni-i12": (
+    "sevennet-omni-i12": _Entry(
         "checkpoint_sevennet_omni_i12.pth",
         f"{_GIT}/v0.12.1.cp/checkpoint_sevennet_omni_i12.pth",
     ),
 }
+
+
+def download_checkpoint(path: str, url: str, sha256: Optional[str] = None,
+                        timeout: float = 30.0) -> str:
+    """Download ``url`` to ``path`` atomically (via ``path + '.partial'``),
+    cleaning up the partial file on failure; optionally verify sha256.
+
+    Reference behavior: ``sevenn/util.py:224-261``.
+    """
+    import urllib.request
+
+    tmp = path + ".partial"
+    os.makedirs(osp.dirname(path) or ".", exist_ok=True)
+    try:
+        req = urllib.request.Request(
+            url, headers={"User-Agent": "sevennet-tpu"})
+        with urllib.request.urlopen(req, timeout=timeout) as resp, \
+                open(tmp, "wb") as out:
+            total = int(resp.headers.get("Content-Length") or 0)
+            got = 0
+            while True:
+                block = resp.read(1 << 20)
+                if not block:
+                    break
+                out.write(block)
+                got += len(block)
+            if total and got != total:
+                raise IOError(
+                    f"truncated download: {got} of {total} bytes")
+        if sha256 is not None:
+            import hashlib
+
+            h = hashlib.sha256()
+            with open(tmp, "rb") as f:
+                for block in iter(lambda: f.read(1 << 20), b""):
+                    h.update(block)
+            if h.hexdigest() != sha256:
+                raise IOError(
+                    f"sha256 mismatch for {url}: got {h.hexdigest()}, "
+                    f"expected {sha256}")
+        os.replace(tmp, path)
+        return path
+    except Exception:
+        if osp.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+        raise
 
 
 def _normalize(name: str) -> Optional[str]:
@@ -87,7 +149,7 @@ def resolve_checkpoint(name_or_path: str) -> str:
             f"'{name_or_path}' is neither an existing path nor a known "
             f"pretrained name; known: {', '.join(get_available_pretrained_models())}"
         )
-    base, url = _REGISTRY[key]
+    base, url, sha = _REGISTRY[key]
     tried = []
     for d in _search_dirs():
         for cand in (osp.join(d, base), osp.join(d, key, base)):
@@ -100,12 +162,20 @@ def resolve_checkpoint(name_or_path: str) -> str:
                 cand = osp.join(d, sub, base)
                 if osp.exists(cand):
                     return cand
-    hint = f" (official release: {url})" if url else ""
+    if url is not None:
+        dest = osp.join(_search_dirs()[0], base)
+        try:
+            return download_checkpoint(dest, url, sha256=sha)
+        except Exception as e:  # no egress / bad link: fall through to msg
+            dl_err = f" (download from {url} failed: {e})"
+    else:
+        dl_err = " (no release URL exists for this name; it ships inside "\
+                 "the reference pip package)"
     raise FileNotFoundError(
-        f"pretrained checkpoint '{key}' not found locally{hint}; searched "
+        f"pretrained checkpoint '{key}' not found locally{dl_err}; searched "
         + ", ".join(tried)
-        + " — place the file in $SEVENN_TPU_CHECKPOINT_DIR (no network "
-        "egress available for auto-download)"
+        + " — place the file in $SEVENN_TPU_CHECKPOINT_DIR or "
+        "~/.cache/sevennet_tpu"
     )
 
 
