@@ -218,6 +218,64 @@ def params_from_torch_state_dict(
     return params
 
 
+def state_dict_from_params(
+    spec: ModelSpec, params: Dict[str, Any]
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`params_from_torch_state_dict`: export our pytree
+    into a reference-layout flat state dict (``0_self_interaction_1.linear.
+    weight`` keys, e3nn flat weight vectors). Used by the cross-framework
+    parity tests to run OUR randomly initialized flagship-width models
+    through the independent torch evaluator (the reverse direction of
+    checkpoint loading), mirroring the reference's golden-test pattern
+    (``tests/unit_tests/test_pretrained.py:32-62``)."""
+    from ..ops.linear import linear_pack
+
+    sd: Dict[str, np.ndarray] = {}
+    sd["edge_embedding.basis_function.coeffs"] = np.asarray(
+        params["edge_embedding"]["bessel_coeffs"]
+    )
+
+    def _lin(name: str, lspec, p):
+        sd[f"{name}.linear.weight"] = np.asarray(linear_pack(lspec, p))
+
+    _lin("onehot_to_feature_x", spec.embed_linear, params["onehot_to_feature_x"])
+    for layer in spec.layers:
+        t = layer.t
+        if layer.sc_type == "nequip":
+            flat = np.concatenate(
+                [np.asarray(w).reshape(-1)
+                 for w in params[f"{t}_self_connection_intro"]["w"]]
+            )
+            sd[f"{t}_self_connection_intro.fc_tensor_product.weight"] = flat
+        elif layer.sc_type == "linear":
+            _lin(f"{t}_self_connection_intro", layer.sc_linear,
+                 params[f"{t}_self_connection_intro"])
+        _lin(f"{t}_self_interaction_1", layer.si1,
+             params[f"{t}_self_interaction_1"])
+        for i, w in enumerate(params[f"{t}_convolution"]["weight_nn"]["w"]):
+            sd[f"{t}_convolution.weight_nn.layer{i}.weight"] = np.asarray(w)
+        sd[f"{t}_convolution.denominator"] = np.asarray(
+            params[f"{t}_convolution"]["denominator"]
+        ).reshape(())
+        _lin(f"{t}_self_interaction_2", layer.si2,
+             params[f"{t}_self_interaction_2"])
+    if spec.readout_as_fcn:
+        for i, w in enumerate(params["readout_FCN"]["w"]):
+            sd[f"readout_FCN.fcn.layer{i}.weight"] = np.asarray(w)
+    else:
+        _lin("reduce_input_to_hidden", spec.readout1,
+             params["reduce_input_to_hidden"])
+        _lin("reduce_hidden_to_energy", spec.readout2,
+             params["reduce_hidden_to_energy"])
+    sd["rescale_atomic_energy.shift"] = np.asarray(
+        params["rescale_atomic_energy"]["shift"]
+    )
+    sd["rescale_atomic_energy.scale"] = np.asarray(
+        params["rescale_atomic_energy"]["scale"]
+    )
+    return sd
+
+
 def load_sevennet_checkpoint(path: str, dtype=None) -> Tuple[ModelSpec, Dict[str, Any]]:
     """Read a stock SevenNet ``.pth`` checkpoint -> (spec, params)."""
     import torch

@@ -67,11 +67,42 @@ def model_init(key, spec: ModelSpec, dtype=jnp.float32) -> Dict[str, Any]:
     return params
 
 
+def _vec_mode(spec) -> bool:
+    """Vec-mode fused conv (round 4): pass raw edge vectors to the Pallas
+    kernels and compute the Bessel basis / envelope / spherical harmonics
+    in-kernel — eliminates the (N*K, n_basis)/(N*K, dim_f) HBM arrays whose
+    minor dims pad to 128 lanes. Requires normalized spherical harmonics
+    (the reference default) and is not yet wired for the opt-in ring
+    backward. ``SEVENNET_TPU_VEC=0`` falls back to the emb/sh kernels."""
+    import os
+
+    if not (spec.conv_fused and spec.normalize_sph and not spec.conv_ring):
+        return False
+    return bool(int(os.environ.get("SEVENNET_TPU_VEC", 1)))
+
+
+def _edge_embed_spec(spec, layer):
+    from ..ops.fused_conv import EdgeEmbedSpec
+
+    kind, arg = spec.cutoff_fn
+    return EdgeEmbedSpec(
+        n_basis=layer.radial_mlp.dims[0],
+        cutoff=float(spec.cutoff),
+        cutoff_kind=str(kind),
+        cutoff_arg=float(arg),
+        lmax=int(spec.lmax_edge),
+    )
+
+
 def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src,
                     n_atoms, edge_mir=None):
     """Dense-neighbor convolution: edge arrays are (N*K,) row-major by
     receiver. The scatter is a sum over the K axis fused into the
     tensor-product contraction — no segment_sum, no (E, dim_mid) buffer.
+
+    In vec mode (``_vec_mode``) the ``edge_emb``/``sh`` slots instead carry
+    the (3, N*K) row-major edge vectors and the (n_basis, 1) Bessel
+    coefficient column (see :func:`model_energy`).
 
     With ``spec.conv_custom_vjp`` the fused implementation with the
     mirror-edge backward (``ops/dense_conv.py``) is used — the production
@@ -88,6 +119,31 @@ def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src,
         assert edge_mir is not None, (
             "spec.conv_fused requires graph.edge_mir (mirror_map)"
         )
+        row_chunk = (
+            (spec.edge_chunk // K)
+            if spec.edge_chunk
+            and n_atoms * K * conv.irreps_x.dim * 4 > chunk_threshold()
+            else 0
+        )
+        if _vec_mode(spec):
+            # vec mode: ``edge_emb`` carries the (3, N*K) row-major edge
+            # vectors, ``sh`` the (n_basis, 1) Bessel coefficient column;
+            # basis/envelope/spherical harmonics run in-kernel.
+            from ..ops.fused_conv import fused_conv_apply_vec
+
+            return fused_conv_apply_vec(
+                conv,
+                layer.radial_mlp,
+                conv_params["weight_nn"],
+                sh,
+                _edge_embed_spec(spec, layer),
+                x,
+                edge_emb,
+                edge_src.reshape(n_atoms, K),
+                edge_mir.reshape(n_atoms, K),
+                param_grads=spec.conv_param_grads,
+                row_chunk=row_chunk,
+            )
         return fused_conv_apply(
             conv,
             layer.radial_mlp,
@@ -101,12 +157,7 @@ def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src,
             # memory-bounded streaming only when the gathered (N*K, dim_x)
             # edge tensor would be too big to materialize (100k-atom scale);
             # below that the unchunked mirror backward is faster
-            row_chunk=(
-                (spec.edge_chunk // K)
-                if spec.edge_chunk
-                and n_atoms * K * conv.irreps_x.dim * 4 > chunk_threshold()
-                else 0
-            ),
+            row_chunk=row_chunk,
             ring=spec.conv_ring,
         )
 
@@ -228,7 +279,9 @@ def _convolve(spec, layer, conv_params, x, edge_emb, sh, edge_src, edge_dst,
     """
 
     if spec.edge_dense_k > 0:
-        assert edge_emb.shape[0] == n_atoms * spec.edge_dense_k, (
+        assert edge_emb.shape[0] == n_atoms * spec.edge_dense_k or (
+            _vec_mode(spec) and edge_emb.shape == (3, n_atoms * spec.edge_dense_k)
+        ), (
             "dense conv requires edges in (N_cap, K) row-major-by-receiver "
             "layout (the MD cell-list layout)"
         )
@@ -299,15 +352,28 @@ def model_energy(
     atom_mask = graph.atom_mask.astype(dtype)
     edge_mask = graph.edge_mask.astype(dtype)
 
-    # guard padded edges: replace with a unit vector so norms/grads are finite
-    fallback = jnp.array([1.0, 0.0, 0.0], dtype=dtype)
+    # guard padded edges: replace with a sentinel vector BEYOND the cutoff
+    # so norms/grads are finite and the clamped envelope zeroes them (the
+    # vec-mode kernels rely on this; the XLA path additionally masks)
+    fallback = jnp.array([2.0 * spec.cutoff, 0.0, 0.0], dtype=dtype)
     ev = jnp.where(graph.edge_mask[:, None], edge_vec, fallback)
 
-    r = jnp.linalg.norm(ev, axis=-1)
-    basis = bessel_basis(r, params["edge_embedding"]["bessel_coeffs"], spec.cutoff)
-    env = _cutoff_envelope(spec, r)
-    edge_emb = basis * (env * edge_mask)[:, None]  # (E, nb), zero on padding
-    sh = spherical_harmonics(spec.lmax_edge, ev, normalize=spec.normalize_sph)
+    if spec.edge_dense_k > 0 and _vec_mode(spec):
+        # vec-mode fused conv: no (E, n_basis)/(E, dim_f) arrays — ship the
+        # k-major (3, E) edge vectors + Bessel coefficient column instead;
+        # the kernels do basis/envelope/spherical harmonics themselves
+        edge_emb = ev.T  # (3, E) row-major; kernels relayout per block
+        sh = params["edge_embedding"]["bessel_coeffs"][:, None]
+    else:
+        r = jnp.linalg.norm(ev, axis=-1)
+        basis = bessel_basis(
+            r, params["edge_embedding"]["bessel_coeffs"], spec.cutoff
+        )
+        env = _cutoff_envelope(spec, r)
+        edge_emb = basis * (env * edge_mask)[:, None]  # zero on padding
+        sh = spherical_harmonics(
+            spec.lmax_edge, ev, normalize=spec.normalize_sph
+        )
 
     onehot = jax.nn.one_hot(graph.species, spec.num_species, dtype=dtype)
 

@@ -55,10 +55,15 @@ from .mlp import ScalarMLPSpec
 from .tensor_product import ConvTPSpec
 
 __all__ = [
+    "EdgeEmbedSpec",
     "make_fused_conv_fwd",
     "make_fused_conv_bwd",
     "fused_conv_apply",
+    "fused_conv_apply_vec",
     "fused_conv_apply_ext",
+    "fused_conv_apply_ext_vec",
+    "to_k_major_rows",
+    "from_k_major_rows",
     "fused_conv_block_atoms",
     "fused_conv_bwd_block_atoms",
     "to_k_major",
@@ -132,6 +137,209 @@ def _instr_tables(conv: ConvTPSpec):
         w_off += mul
     w3j_pack = np.stack(rows, 0).astype(np.float32)  # (R, dim_f)
     return instr, w3j_pack, dim_mid, w_off
+
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class EdgeEmbedSpec:
+    """Static description of the edge embedding computed IN-KERNEL by the
+    vec-mode fused conv (round 4): Bessel radial basis x cutoff envelope +
+    real spherical harmonics, both evaluated from the raw edge vectors on
+    the VPU instead of materializing (N*K, n_basis)/(N*K, dim_f) arrays in
+    HBM (those pad their minor dims to 128 lanes — 14-16x wasted HBM
+    traffic per conv layer, plus their k-major relayouts and backward
+    chains). Mirrors ``sevenn/nn/edge_embedding.py`` semantics exactly;
+    padded edge slots must carry a sentinel vector with r > cutoff so the
+    clamped envelope zeroes them."""
+
+    n_basis: int
+    cutoff: float
+    cutoff_kind: str   # "poly_cut" | "XPLOR"
+    cutoff_arg: float  # p (poly) or cutoff_on (XPLOR)
+    lmax: int
+
+    @property
+    def dim_f(self) -> int:
+        return (self.lmax + 1) ** 2
+
+
+def _env_rows(r, es: EdgeEmbedSpec):
+    """Cutoff envelope + its r-derivative on (1, L) rows, both clamped to
+    exactly zero beyond the cutoff (see ops/radial.py for why)."""
+    if es.cutoff_kind == "poly_cut":
+        p = float(int(es.cutoff_arg))
+        x = r * (1.0 / es.cutoff)
+        c0 = (p + 1.0) * (p + 2.0) / 2.0
+        c1 = p * (p + 2.0)
+        c2 = p * (p + 1.0) / 2.0
+        xp = x ** int(p)
+        val = 1.0 - c0 * xp + c1 * xp * x - c2 * xp * x * x
+        dval = (
+            -c0 * p * xp / jnp.maximum(x, 1e-12)
+            + c1 * (p + 1.0) * xp
+            - c2 * (p + 2.0) * xp * x
+        ) * (1.0 / es.cutoff)
+        inside = x < 1.0
+        return (
+            jnp.where(inside, val, 0.0),
+            jnp.where(inside, dval, 0.0),
+        )
+    on = float(es.cutoff_arg)
+    on_sq = on * on
+    cut_sq = es.cutoff * es.cutoff
+    r_sq = r * r
+    inv = 1.0 / (cut_sq - on_sq) ** 3
+    a = cut_sq - r_sq
+    b = cut_sq + 2.0 * r_sq - 3.0 * on_sq
+    smooth = a * a * b * inv
+    dsmooth = (-4.0 * r * a * b + 4.0 * r * a * a) * inv
+    mid = (r >= on) & (r < es.cutoff)
+    env = jnp.where(r < on, 1.0, jnp.where(r < es.cutoff, smooth, 0.0))
+    denv = jnp.where(mid, dsmooth, 0.0)
+    return env, denv
+
+
+def _mons_rows(u, lmax: int):
+    """Monomial rows per degree l: list over l of (n_mon(l), L) arrays
+    built from the (3, L) unit-vector rows (each degree-l monomial is a
+    parent degree-(l-1) monomial times one coordinate)."""
+    from ..so3.spherical import monomials
+
+    one = jnp.ones_like(u[:1])
+    mons = [one, u]
+    for l in range(2, lmax + 1):
+        prev_idx = {m: k for k, m in enumerate(monomials(l - 1))}
+        rows = []
+        for (a, b, c) in monomials(l):
+            if a > 0:
+                rows.append(
+                    mons[l - 1][prev_idx[(a - 1, b, c)] : prev_idx[(a - 1, b, c)] + 1]
+                    * u[0:1]
+                )
+            elif b > 0:
+                rows.append(
+                    mons[l - 1][prev_idx[(a, b - 1, c)] : prev_idx[(a, b - 1, c)] + 1]
+                    * u[1:2]
+                )
+            else:
+                rows.append(
+                    mons[l - 1][prev_idx[(a, b, c - 1)] : prev_idx[(a, b, c - 1)] + 1]
+                    * u[2:3]
+                )
+        mons.append(jnp.concatenate(rows, axis=0))
+    return mons
+
+
+def _emb_sh_fwd_rows(v, coef, es: EdgeEmbedSpec):
+    """(3, L) edge vectors + (n_basis, 1) Bessel coeffs -> row-major
+    ``emb (n_basis, L)``, ``sh (dim_f, L)`` plus recomputable aux values.
+    Pure jnp on 2-D row arrays: runs identically inside Mosaic kernels and
+    at XLA level (the second-order reference)."""
+    from ..so3.spherical import sh_coefficients
+
+    r2 = jnp.sum(v * v, axis=0, keepdims=True)
+    r = jnp.maximum(jnp.sqrt(r2), 1e-12)
+    rinv = 1.0 / r
+    u = v * rinv
+    env, denv = _env_rows(r, es)
+    pref = 2.0 / es.cutoff
+    sr = jnp.sin(coef * r)                     # (n_basis, L)
+    emb = sr * (pref * rinv * env)
+    mons = _mons_rows(u, es.lmax)
+    shs = [jnp.ones_like(u[:1])]
+    if es.lmax >= 1:
+        shs.append(math.sqrt(3.0) * u)
+    for l in range(2, es.lmax + 1):
+        # scalar-unrolled C_l @ mons_l: the tables are tiny and sparse, and
+        # Pallas kernels cannot capture array constants
+        C = np.asarray(sh_coefficients(l))
+        for m in range(2 * l + 1):
+            row = None
+            for k in range(C.shape[1]):
+                c = float(C[m, k])
+                if c == 0.0:
+                    continue
+                t = c * mons[l][k : k + 1]
+                row = t if row is None else row + t
+            shs.append(row if row is not None else jnp.zeros_like(u[:1]))
+    sh = jnp.concatenate(shs, axis=0)
+    return emb, sh, (r, rinv, u, env, denv, sr, mons)
+
+
+def _emb_sh_bwd_rows(aux, coef, es: EdgeEmbedSpec, demb, dsh,
+                     want_dcoef: bool):
+    """Chain (demb (n_basis, L), dsh (dim_f, L)) back to the edge vectors:
+    returns ``dv (3, L)`` (and ``dcoef (n_basis, 1)`` when requested)."""
+    from ..so3.spherical import sh_deriv_tables
+
+    r, rinv, u, env, denv, sr, mons = aux
+    pref = 2.0 / es.cutoff
+    cr = jnp.cos(coef * r)                     # (n_basis, L)
+    # emb_n = pref * sin(c_n r) / r * env(r)
+    demb_dr = pref * (
+        coef * cr * (rinv * env) + sr * (denv * rinv - env * rinv * rinv)
+    )
+    dr = jnp.sum(demb * demb_dr, axis=0, keepdims=True)  # (1, L)
+    du = None
+    if es.lmax >= 1:
+        du = math.sqrt(3.0) * dsh[1:4]
+    off = 4
+    for l in range(2, es.lmax + 1):
+        dsh_l = dsh[off : off + 2 * l + 1]
+        off += 2 * l + 1
+        G = np.asarray(sh_deriv_tables(l))      # (3, 2l+1, n_mon(l-1))
+        parts = []
+        for c in range(3):
+            # scalar-unrolled sum_m dsh_l[m] * (G[c] @ mons_{l-1}) — the
+            # tables are tiny/sparse and kernels cannot capture constants
+            acc = None
+            for m in range(2 * l + 1):
+                for k in range(G.shape[2]):
+                    g = float(G[c, m, k])
+                    if g == 0.0:
+                        continue
+                    t = g * (dsh_l[m : m + 1] * mons[l - 1][k : k + 1])
+                    acc = t if acc is None else acc + t
+            parts.append(acc if acc is not None
+                         else jnp.zeros_like(dsh[:1]))
+        du = du + jnp.concatenate(parts, axis=0)
+    if du is None:
+        dv = u * dr
+    else:
+        udu = jnp.sum(u * du, axis=0, keepdims=True)
+        dv = (du - u * udu) * rinv + u * dr
+    if not want_dcoef:
+        return dv, None
+    # d emb_n / d c_n = pref * r cos(c_n r) / r * env = pref * cos * env
+    dcoef = jnp.sum(demb * (pref * cr * env), axis=1, keepdims=True)
+    return dv, dcoef
+
+
+def to_k_major_rows(arr_rows, A: int, K: int):
+    """(rows, N*K) receiver-row-major lanes -> k-major block lane order
+    ``t = b*K*A + k*A + a`` (the transposed-array analogue of
+    :func:`to_k_major`; cheap — lanes move, rows are tiny)."""
+    rows, NK = arr_rows.shape
+    N = NK // K
+    assert N % A == 0, (N, A)
+    return (
+        arr_rows.reshape(rows, N // A, A, K)
+        .swapaxes(2, 3)
+        .reshape(rows, NK)
+    )
+
+
+def from_k_major_rows(arr_rows, A: int, K: int):
+    """Inverse of :func:`to_k_major_rows`."""
+    rows, NK = arr_rows.shape
+    N = NK // K
+    return (
+        arr_rows.reshape(rows, N // A, K, A)
+        .swapaxes(2, 3)
+        .reshape(rows, NK)
+    )
 
 
 def fused_conv_block_atoms(K: int, target_t: int = 2816) -> int:
@@ -304,17 +512,28 @@ def make_fused_conv_fwd(
     K: int,
     act: str = "silu",
     interpret: Optional[bool] = None,
+    embed: Optional[EdgeEmbedSpec] = None,
 ):
     """Returns fn(xg, emb, sh, mlp_ws) -> (N, dim_mid).
 
     All edge arrays flat in **k-major block order** (:func:`to_k_major`);
     ``xg = x[to_k_major(src)]`` is gathered by the caller. Zeroed padding
     edges contribute exactly zero (the radial MLP has no biases).
+
+    With ``embed`` set (vec mode), the signature becomes
+    ``fn(xg, vec (3, N*K) k-major lanes, coef (n_basis, 1), mlp_ws)`` and
+    the Bessel basis / envelope / spherical harmonics are computed
+    in-kernel from the edge vectors (sentinel vectors with r > cutoff on
+    padded slots).
     """
     instr, w3j_pack_np, dim_mid, numel = _instr_tables(conv)
     dim_x = conv.irreps_x.dim
     dim_f = conv.irreps_filter.dim
     n_basis = mlp_spec.dims[0]
+    if embed is not None:
+        assert embed.dim_f == dim_f and embed.n_basis == n_basis, (
+            embed, dim_f, n_basis,
+        )
     R = w3j_pack_np.shape[0]
     T = A * K
     cst = NORMALIZE2MOM_CST[act]
@@ -375,8 +594,12 @@ def make_fused_conv_fwd(
         scr = rest[n_mlp + 2]
 
         xgT = xg_ref[:].T          # (dim_x, T)
-        embT = emb_ref[:].T        # (n_basis, T)
-        shT = sh_ref[:].T          # (dim_f, T)
+        if embed is not None:
+            # emb_ref = vec (3, T) rows; sh_ref = coef (n_basis, 1)
+            embT, shT, _ = _emb_sh_fwd_rows(emb_ref[:], sh_ref[:], embed)
+        else:
+            embT = emb_ref[:].T    # (n_basis, T)
+            shT = sh_ref[:].T      # (dim_f, T)
 
         h = embT
         for li, wref in enumerate(mlp_refs):
@@ -409,14 +632,26 @@ def make_fused_conv_fwd(
         out_ref[:] = scr[:].T
 
     def fused(xg, emb, sh, mlp_ws):
+        # vec mode: emb = vec (3, NK) k-major lanes, sh = coef (n_basis, 1)
         NK = xg.shape[0]
         assert NK % T == 0, (NK, T)
         n_blocks = NK // T
+        if embed is not None:
+            edge_specs = [
+                pl.BlockSpec((3, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_basis, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        else:
+            edge_specs = [
+                pl.BlockSpec((T, n_basis), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, dim_f), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
         in_specs = [
             pl.BlockSpec((T, dim_x), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, n_basis), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, dim_f), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ] + [
+        ] + edge_specs + [
             pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
             for w in mlp_ws
         ] + [
@@ -646,6 +881,7 @@ def make_fused_conv_bwd2(
     act: str = "silu",
     param_grads: bool = True,
     interpret: Optional[bool] = None,
+    embed: Optional[EdgeEmbedSpec] = None,
 ):
     """Round-3 backward kernel: same contract as :func:`make_fused_conv_bwd`
     but with the redundant products factored out (measured 60% of model cost
@@ -678,13 +914,28 @@ def make_fused_conv_bwd2(
         mlp_refs = rest[:n_mlp]
         w3j_ref = rest[n_mlp]
         outs = rest[n_mlp + 1 :]
-        dxg_ref, demb_ref, dsh_ref = outs[0], outs[1], outs[2]
-        dw_refs = outs[3 : 3 + n_mlp] if param_grads else ()
-        dxscr = outs[3 + n_mlp] if param_grads else outs[3]
+        if embed is None:
+            dxg_ref, demb_ref, dsh_ref = outs[0], outs[1], outs[2]
+            n_fixed = 3
+        else:
+            dxg_ref, dvec_ref = outs[0], outs[1]
+            n_fixed = 2
+        dw_refs = outs[n_fixed : n_fixed + n_mlp] if param_grads else ()
+        dcoef_ref = (
+            outs[n_fixed + n_mlp] if (param_grads and embed is not None)
+            else None
+        )
+        dxscr = outs[-1]
 
         xgT = xg_ref[:].T
-        embT = emb_ref[:].T
-        shT = sh_ref[:].T
+        if embed is not None:
+            # emb_ref = vec (3, T) rows; sh_ref = coef (n_basis, 1)
+            embT, shT, emb_aux = _emb_sh_fwd_rows(
+                emb_ref[:], sh_ref[:], embed
+            )
+        else:
+            embT = emb_ref[:].T
+            shT = sh_ref[:].T
         ybT = ybar_ref[:].T        # (dim_mid, A)
         # receiver-cotangent tiles are built per INSTRUCTION (the d3*mul
         # rows an instruction consumes, tiled K times across the k-major
@@ -776,7 +1027,8 @@ def make_fused_conv_bwd2(
         dtmp = jnp.concatenate([dtmp_rows[r] for r in range(R)], axis=0)
 
         dshT = jnp.dot(w3j_ref[:].T, dtmp, **_DOT)
-        dsh_ref[:] = dshT.T
+        if embed is None:
+            dsh_ref[:] = dshT.T
 
         g = dw_edge
         for li in range(n_mlp - 1, -1, -1):
@@ -798,17 +1050,48 @@ def make_fused_conv_bwd2(
                 sig = jax.nn.sigmoid(z)
                 dsilu = sig * (1.0 + z * (1.0 - sig))
                 g = g * (dsilu * cst)
-        demb_ref[:] = g.T
+        if embed is None:
+            demb_ref[:] = g.T
+        else:
+            # chain demb (g) + dsh back to the edge vectors in-kernel
+            dv, dcoef = _emb_sh_bwd_rows(
+                emb_aux, sh_ref[:], embed, g, dshT,
+                want_dcoef=param_grads,
+            )
+            dvec_ref[:] = dv
+            if param_grads:
+                is_first0 = pl.program_id(0) == 0
+
+                @pl.when(is_first0)
+                def _():
+                    dcoef_ref[:] = dcoef
+
+                @pl.when(jnp.logical_not(is_first0))
+                def _():
+                    dcoef_ref[:] = dcoef_ref[:] + dcoef
         dxg_ref[:] = dxscr[:].T
 
     def fused_bwd(xg, emb, sh, ybar, mlp_ws):
+        # vec mode: emb = vec (3, NK) k-major lanes, sh = coef (n_basis, 1)
         NK = xg.shape[0]
         assert NK % T == 0, (NK, T)
         n_blocks = NK // T
+        if embed is not None:
+            edge_specs = [
+                pl.BlockSpec((3, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_basis, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        else:
+            edge_specs = [
+                pl.BlockSpec((T, n_basis), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, dim_f), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
         in_specs = [
             pl.BlockSpec((T, dim_x), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, n_basis), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, dim_f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ] + edge_specs + [
             pl.BlockSpec((A, dim_mid), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ] + [
             pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -816,22 +1099,42 @@ def make_fused_conv_bwd2(
         ] + [
             pl.BlockSpec((R, dim_f), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
-        out_shape = [
-            jax.ShapeDtypeStruct((NK, dim_x), jnp.float32),
-            jax.ShapeDtypeStruct((NK, n_basis), jnp.float32),
-            jax.ShapeDtypeStruct((NK, dim_f), jnp.float32),
-        ]
+        out_shape = [jax.ShapeDtypeStruct((NK, dim_x), jnp.float32)]
         out_specs = [
             pl.BlockSpec((T, dim_x), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, n_basis), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, dim_f), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
+        if embed is not None:
+            out_shape.append(jax.ShapeDtypeStruct((3, NK), jnp.float32))
+            out_specs.append(
+                pl.BlockSpec((3, T), lambda i: (0, i), memory_space=pltpu.VMEM)
+            )
+        else:
+            out_shape += [
+                jax.ShapeDtypeStruct((NK, n_basis), jnp.float32),
+                jax.ShapeDtypeStruct((NK, dim_f), jnp.float32),
+            ]
+            out_specs += [
+                pl.BlockSpec((T, n_basis), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, dim_f), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
         if param_grads:
             for w in mlp_ws:
                 out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
                 out_specs.append(
                     pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                 )
+            if embed is not None:
+                out_shape.append(
+                    jax.ShapeDtypeStruct((n_basis, 1), jnp.float32)
+                )
+                out_specs.append(
+                    pl.BlockSpec((n_basis, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+                )
+        # the in-specs above re-order kernel args as (xg, emb|vec, sh|coef,
+        # ybar, ...) — match the kernel signature by passing in that order
         res = pl.pallas_call(
             kernel,
             grid=(n_blocks,),
@@ -844,9 +1147,10 @@ def make_fused_conv_bwd2(
             ),
             interpret=_auto_interpret(interpret),
         )(xg, emb, sh, ybar, *mlp_ws, jnp.asarray(w3j_pack_np))
+        n_fixed = 2 if embed is not None else 3
         if param_grads:
-            return res[0], res[1], res[2], tuple(res[3:])
-        return res[0], res[1], res[2]
+            return (*res[:n_fixed], tuple(res[n_fixed:]))
+        return tuple(res[:n_fixed])
 
     return fused_bwd
 
@@ -859,16 +1163,56 @@ def make_fused_conv_bwd2(
 _KERNEL_CACHE: Dict = {}
 
 
-def _make_bwd_op(conv, mlp_spec, A_b, K, param_grads, bwd_kernel):
+def _make_bwd_op(conv, mlp_spec, A_b, K, param_grads, bwd_kernel,
+                 embed: Optional[EdgeEmbedSpec] = None):
     """Wrap the Pallas backward kernel in its OWN custom_vjp so the conv's
     backward rule is itself differentiable — the VJP-of-VJP the force-loss
     grad-of-grad needs in training (the reference gets this from torch
     autograd over cuEq/FlashTP kernels, ``sevenn/nn/cue_helper.py:53-124``).
     The second-order rule differentiates an XLA reference implementation of
     the same pullback (``jax.vjp`` over the dense TP forward), which the
-    fused-vs-XLA equivalence tests pin to the kernel to ~1e-6."""
+    fused-vs-XLA equivalence tests pin to the kernel to ~1e-6.
+
+    In vec mode (``embed``) the op signature is
+    ``op(mlp_ws, xg, vec_km (3, N*K), coef (n_basis, 1), ybar)`` and it
+    returns ``(dxg, dvec[, (dws..., dcoef)])``."""
     from .dense_conv import _tp_forward_block
     from .mlp import scalar_mlp_apply
+
+    if embed is not None:
+        def ref(mlp_ws, xg, vec_km, coef, ybar):
+            N = ybar.shape[0]
+
+            def f(ws, coef_, xg_f, vec_f):
+                emb, sh, _ = _emb_sh_fwd_rows(vec_f, coef_, embed)
+                xg_nk = from_k_major(xg_f, N, K, A_b)
+                emb_nk = from_k_major(emb.T, N, K, A_b)
+                sh_nk = from_k_major(sh.T, N, K, A_b)
+                w = scalar_mlp_apply(mlp_spec, {"w": list(ws)}, emb_nk)
+                return _tp_forward_block(conv, xg_nk, sh_nk, w)
+
+            _, pull = jax.vjp(f, tuple(mlp_ws), coef, xg, vec_km)
+            dws, dcoef, dxg, dvec = pull(ybar)
+            dxg = dxg.reshape(-1, conv.irreps_x.dim)
+            if param_grads:
+                return dxg, dvec, (*dws, dcoef)
+            return dxg, dvec
+
+        @jax.custom_vjp
+        def op(mlp_ws, xg, vec_km, coef, ybar):
+            return bwd_kernel(xg, vec_km, coef, ybar, tuple(mlp_ws))
+
+        def fwd_rule(mlp_ws, xg, vec_km, coef, ybar):
+            return (
+                op(mlp_ws, xg, vec_km, coef, ybar),
+                (mlp_ws, xg, vec_km, coef, ybar),
+            )
+
+        def bwd_rule(res, g):
+            return jax.vjp(ref, *res)[1](g)
+
+        op.defvjp(fwd_rule, bwd_rule)
+        return op
 
     def ref(mlp_ws, xg, emb_km, sh_km, ybar):
         N = ybar.shape[0]
@@ -920,14 +1264,27 @@ def save_xg_bytes() -> int:
     return int(os.environ.get("SEVENNET_TPU_SAVE_XG", 2_400_000_000))
 
 
-def _get_kernels(conv, mlp_spec, A, K, param_grads, A_b=None):
+def _get_kernels(conv, mlp_spec, A, K, param_grads, A_b=None, embed=None):
     import os
 
     use_bwd2 = bool(int(os.environ.get("SEVENNET_TPU_BWD2", 1)))
     if A_b is None:
         A_b = fused_conv_bwd_block_atoms(A, K)
-    key = (conv, mlp_spec, A, K, param_grads, use_bwd2, A_b)
+    key = (conv, mlp_spec, A, K, param_grads, use_bwd2, A_b, embed)
     if key not in _KERNEL_CACHE:
+        if embed is not None:
+            bwd_kernel = make_fused_conv_bwd2(
+                conv, mlp_spec, A_b, K, param_grads=param_grads, embed=embed
+            )
+            bwd_op = _make_bwd_op(
+                conv, mlp_spec, A_b, K, param_grads, bwd_kernel, embed=embed
+            )
+            _KERNEL_CACHE[key] = (
+                make_fused_conv_fwd(conv, mlp_spec, A, K, embed=embed),
+                lambda xg, vec, coef, ybar, ws: bwd_op(ws, xg, vec, coef, ybar),
+                A_b,
+            )
+            return _KERNEL_CACHE[key]
         mk = make_fused_conv_bwd2 if use_bwd2 else make_fused_conv_bwd
         bwd_kernel = mk(conv, mlp_spec, A_b, K, param_grads=param_grads)
         bwd_op = _make_bwd_op(conv, mlp_spec, A_b, K, param_grads, bwd_kernel)
@@ -1044,6 +1401,169 @@ def _fused_conv_bwd_rule(conv, mlp_spec, A, param_grads, res, ybar):
 
 
 _fused_conv.defvjp(_fused_conv_fwd_rule, _fused_conv_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# vec-mode variants (round 4): edge vectors in, embedding computed in-kernel.
+# vec_km is (3, N*K) with k-major block lane order (to_k_major_rows); coef
+# is the (n_basis, 1) trainable Bessel frequency column.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_conv_v(conv, mlp_spec, A, param_grads, embed, mlp_ws, coef, x,
+                  vec_km, src_nk, mir_nk):
+    K = src_nk.shape[1]
+    fwd, _, _ = _get_kernels(conv, mlp_spec, A, K, param_grads, embed=embed)
+    xg = x[to_k_major(src_nk, A)]
+    return fwd(xg, vec_km, coef, tuple(mlp_ws))
+
+
+def _fused_conv_v_fwd_rule(conv, mlp_spec, A, param_grads, embed, mlp_ws,
+                           coef, x, vec_km, src_nk, mir_nk):
+    out = _fused_conv_v(conv, mlp_spec, A, param_grads, embed, mlp_ws, coef,
+                        x, vec_km, src_nk, mir_nk)
+    K = src_nk.shape[1]
+    if not _save_xg(conv, A, K, x.shape[0]):
+        return out, (mlp_ws, coef, x, vec_km, src_nk, mir_nk)
+    xg = x[to_k_major(src_nk, A)]
+    return out, (mlp_ws, coef, xg, vec_km, mir_nk)
+
+
+def _fused_conv_v_bwd_rule(conv, mlp_spec, A, param_grads, embed, res, ybar):
+    if len(res) == 5:
+        mlp_ws, coef, xg, vec_km, mir_nk = res
+        N, K = mir_nk.shape
+        A_b = A
+        _, bwd, _ = _get_kernels(conv, mlp_spec, A, K, param_grads, A_b=A,
+                                 embed=embed)
+        vec_b = vec_km
+        x_rows = None
+    else:
+        mlp_ws, coef, x, vec_km, src_nk, mir_nk = res
+        N, K = src_nk.shape
+        _, bwd, A_b = _get_kernels(conv, mlp_spec, A, K, param_grads,
+                                   embed=embed)
+        src_km = to_k_major(src_nk, A_b)
+        xg = x[src_km]
+        vec_b = (
+            to_k_major_rows(from_k_major_rows(vec_km, A, K), A_b, K)
+            if A_b != A else vec_km
+        )
+        x_rows = x
+    outs = bwd(xg, vec_b, coef, ybar, tuple(mlp_ws))
+    if param_grads:
+        dxg_km, dvec_b, extras = outs
+        dmlp = tuple(
+            g.astype(w.dtype) for g, w in zip(extras[:-1], mlp_ws)
+        )
+        dcoef = extras[-1].astype(coef.dtype)
+    else:
+        dxg_km, dvec_b = outs
+        dmlp = tuple(jnp.zeros_like(w) for w in mlp_ws)
+        dcoef = jnp.zeros_like(coef)
+    dvec = (
+        to_k_major_rows(from_k_major_rows(dvec_b, A_b, K), A, K)
+        if A_b != A else dvec_b
+    )
+    # dx via the mirror-permutation gather (see _fused_conv_bwd_rule)
+    r_loc = mir_nk // K
+    kk = mir_nk - r_loc * K
+    km = (r_loc // A_b) * (K * A_b) + kk * A_b + (r_loc % A_b)
+    dx = jnp.sum(dxg_km[km.reshape(-1)].reshape(N, K, -1), axis=1)
+    x_dtype = xg.dtype if x_rows is None else x_rows.dtype
+    return (
+        dmlp,
+        dcoef,
+        dx.astype(x_dtype),
+        dvec.astype(vec_km.dtype),
+        np.zeros((N, K), jax.dtypes.float0),
+        np.zeros(mir_nk.shape, jax.dtypes.float0),
+    )
+
+
+_fused_conv_v.defvjp(_fused_conv_v_fwd_rule, _fused_conv_v_bwd_rule)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _fused_conv_chunked_v(conv, mlp_spec, A, param_grads, embed, RC, mlp_ws,
+                          coef, x, vec_rows, src_nk):
+    # vec_rows is ROW-major (3, N*K) — each chunk converts its own slice to
+    # k-major lanes (cheap: 3 rows), so callers need no A-dependent layout
+    N, K = src_nk.shape
+    fwd, _, _ = _get_kernels(conv, mlp_spec, A, K, param_grads, embed=embed)
+    nb = N // RC
+    RCK = RC * K
+
+    def chunk(carry, sl):
+        src_c, vec_c = sl
+        xg = x[to_k_major(src_c, A)]
+        out = fwd(xg, to_k_major_rows(vec_c, A, K), coef, tuple(mlp_ws))
+        return carry, jax.lax.optimization_barrier(out)
+
+    src_s = src_nk.reshape(nb, RC, K)
+    vec_s = vec_rows.reshape(3, nb, RCK).swapaxes(0, 1)
+    _, outs = jax.lax.scan(chunk, 0, (src_s, vec_s))
+    return outs.reshape(N, -1)
+
+
+def _fused_conv_chunked_v_fwd(conv, mlp_spec, A, param_grads, embed, RC,
+                              mlp_ws, coef, x, vec_rows, src_nk):
+    out = _fused_conv_chunked_v(conv, mlp_spec, A, param_grads, embed, RC,
+                                mlp_ws, coef, x, vec_rows, src_nk)
+    return out, (mlp_ws, coef, x, vec_rows, src_nk)
+
+
+def _fused_conv_chunked_v_bwd(conv, mlp_spec, A, param_grads, embed, RC,
+                              res, ybar):
+    mlp_ws, coef, x, vec_rows, src_nk = res
+    N, K = src_nk.shape
+    dim_x = conv.irreps_x.dim
+    _, bwd, A_b = _get_kernels(conv, mlp_spec, A, K, param_grads,
+                               embed=embed)
+    nb = N // RC
+    RCK = RC * K
+
+    def chunk(carry, sl):
+        dx, dmlp, dcoef = carry
+        src_c, vec_c, yb_c = sl
+        src_km = to_k_major(src_c, A_b)
+        xg = x[src_km]
+        outs = bwd(xg, to_k_major_rows(vec_c, A_b, K), coef, yb_c,
+                   tuple(mlp_ws))
+        if param_grads:
+            dxg_km, dvec_b, extras = outs
+            dmlp = tuple(a + b for a, b in zip(dmlp, extras[:-1]))
+            dcoef = dcoef + extras[-1]
+        else:
+            dxg_km, dvec_b = outs
+        dvec_c = from_k_major_rows(dvec_b, A_b, K)
+        dx = dx.at[src_km].add(dxg_km)
+        return (dx, dmlp, dcoef), dvec_c
+
+    src_s = src_nk.reshape(nb, RC, K)
+    vec_s = vec_rows.reshape(3, nb, RCK).swapaxes(0, 1)
+    yb_s = ybar.reshape(nb, RC, -1)
+    dmlp0 = tuple(jnp.zeros_like(w) for w in mlp_ws)
+    dcoef0 = jnp.zeros_like(coef)
+    (dx, dmlp, dcoef), dvec_s = jax.lax.scan(
+        chunk,
+        (jnp.zeros((x.shape[0], dim_x), x.dtype), dmlp0, dcoef0),
+        (src_s, vec_s, yb_s),
+    )
+    dmlp = tuple(g.astype(w.dtype) for g, w in zip(dmlp, mlp_ws))
+    dvec = dvec_s.swapaxes(0, 1).reshape(3, N * K)
+    return (
+        dmlp,
+        dcoef.astype(coef.dtype),
+        dx.astype(x.dtype),
+        dvec.astype(vec_rows.dtype),
+        np.zeros(src_nk.shape, jax.dtypes.float0),
+    )
+
+
+_fused_conv_chunked_v.defvjp(_fused_conv_chunked_v_fwd,
+                             _fused_conv_chunked_v_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -1338,6 +1858,103 @@ def fused_conv_apply(
         conv, mlp_spec, A, bool(param_grads), ws, x, emb_nk, sh_nk,
         src_nk, mir_nk,
     )
+
+
+def fused_conv_apply_vec(
+    conv: ConvTPSpec,
+    mlp_spec: ScalarMLPSpec,
+    mlp_params,
+    bessel_coef,  # (n_basis, 1)
+    embed: EdgeEmbedSpec,
+    x,          # (N, dim_x)
+    vec_rows,   # (3, N*K) ROW-major (receiver-major) edge vectors;
+                # sentinel vectors with r > cutoff on padded slots
+    src_nk,     # (N, K) int32
+    mir_nk,     # (N, K) int32 flat mirror indices (mirror_map)
+    *,
+    block_atoms: int = 0,
+    param_grads: bool = True,
+    row_chunk: int = 0,
+):
+    """Vec-mode fused Pallas conv: the Bessel basis, cutoff envelope and
+    spherical harmonics are computed in-kernel from the raw edge vectors
+    (forward AND backward — the backward chains the sh/emb cotangents to
+    ``dvec`` in-kernel). Eliminates the (N*K, n_basis)/(N*K, dim_f) HBM
+    arrays, whose minor dims pad to 128 lanes (14-16x traffic waste), their
+    k-major relayouts, and their XLA backward chains. See
+    :func:`fused_conv_apply` for the chunking contract."""
+    K = src_nk.shape[1]
+    A = block_atoms or fused_conv_block_atoms(K)
+    n = x.shape[0]
+    assert n % A == 0, (n, A)
+    ws = tuple(mlp_params["w"]) if isinstance(mlp_params, dict) else tuple(mlp_params)
+    if row_chunk and row_chunk < n:
+        RC = max(A, (row_chunk // A) * A)
+        Np = -(-n // RC) * RC
+        if Np > n:
+            pad = Np - n
+            x_p = jnp.pad(x, ((0, pad), (0, 0)))
+            src_p = jnp.pad(src_nk, ((0, pad), (0, 0)))
+            # padded slots must stay beyond the cutoff (sentinel vectors)
+            vec_p = jnp.concatenate(
+                [
+                    vec_rows,
+                    jnp.zeros((3, pad * K), vec_rows.dtype)
+                    .at[0].set(2.0 * embed.cutoff),
+                ],
+                axis=1,
+            )
+        else:
+            x_p, src_p, vec_p = x, src_nk, vec_rows
+        out = _fused_conv_chunked_v(
+            conv, mlp_spec, A, bool(param_grads), embed, RC, ws,
+            bessel_coef, x_p, vec_p, src_p,
+        )
+        return out[:n]
+    return _fused_conv_v(
+        conv, mlp_spec, A, bool(param_grads), embed, ws, bessel_coef, x,
+        to_k_major_rows(vec_rows, A, K), src_nk, mir_nk,
+    )
+
+
+def fused_conv_apply_ext_vec(
+    conv: ConvTPSpec,
+    mlp_spec: ScalarMLPSpec,
+    mlp_params,
+    bessel_coef,
+    embed: EdgeEmbedSpec,
+    x_ext,      # (N_ext, dim_x) — local rows first, then ghosts
+    vec_rows,   # (3, N*K) ROW-major edge vectors (sentinels on padding)
+    src_nk,     # (N, K) int32 indices into x_ext
+    *,
+    block_atoms: int = 0,
+    param_grads: bool = True,
+    row_chunk: int = 0,
+):
+    """Vec-mode fused conv over an EXTENDED sender set (distributed MD
+    ghosts) — always the scatter-add chunked backward, like
+    :func:`fused_conv_apply_ext`."""
+    N, K = src_nk.shape
+    A = block_atoms or fused_conv_block_atoms(K)
+    ws = tuple(mlp_params["w"]) if isinstance(mlp_params, dict) else tuple(mlp_params)
+    RC = max(A, ((row_chunk or N) // A) * A)
+    Np = -(-N // RC) * RC
+    if Np > N:
+        pad = Np - N
+        src_nk = jnp.pad(src_nk, ((0, pad), (0, 0)))
+        vec_rows = jnp.concatenate(
+            [
+                vec_rows,
+                jnp.zeros((3, pad * K), vec_rows.dtype)
+                .at[0].set(2.0 * embed.cutoff),
+            ],
+            axis=1,
+        )
+    out = _fused_conv_chunked_v(
+        conv, mlp_spec, A, bool(param_grads), embed, RC, ws, bessel_coef,
+        x_ext, vec_rows, src_nk,
+    )
+    return out[:N]
 
 
 def fused_conv_apply_ext(

@@ -868,15 +868,31 @@ class DistributedMDEngine:
         cell = jnp.asarray(self.cell, dtype) * scale
         ev = ext_pos[src] - pos[dst] + shift @ cell
         ev = ev + ev @ eps
-        ev = jnp.where(emask[:, None], ev, jnp.array([1.0, 0.0, 0.0], dtype))
-
-        r = jnp.linalg.norm(ev, axis=-1)
-        basis = bessel_basis(
-            r, params["edge_embedding"]["bessel_coeffs"], spec.cutoff
+        ev = jnp.where(
+            emask[:, None], ev,
+            jnp.array([2.0 * spec.cutoff, 0.0, 0.0], dtype),
         )
-        env = _cutoff_envelope(spec, r)
-        edge_emb = basis * (env * emask.astype(dtype))[:, None]
-        sh = spherical_harmonics(spec.lmax_edge, ev, normalize=spec.normalize_sph)
+
+        from ..model.model import _vec_mode
+
+        vec_fused = self.fused and _vec_mode(
+            dataclasses.replace(spec, conv_ring=False)
+            if spec.conv_ring else spec
+        )
+        if vec_fused:
+            vec_rows = ev.T  # (3, NL*K) row-major
+            coef_col = params["edge_embedding"]["bessel_coeffs"][:, None]
+            edge_emb = sh = None
+        else:
+            r = jnp.linalg.norm(ev, axis=-1)
+            basis = bessel_basis(
+                r, params["edge_embedding"]["bessel_coeffs"], spec.cutoff
+            )
+            env = _cutoff_envelope(spec, r)
+            edge_emb = basis * (env * emask.astype(dtype))[:, None]
+            sh = spherical_harmonics(
+                spec.lmax_edge, ev, normalize=spec.normalize_sph
+            )
 
         onehot = jax.nn.one_hot(comm["species"], spec.num_species, dtype=dtype)
 
@@ -898,7 +914,21 @@ class DistributedMDEngine:
                 sc = None
             x1 = linear_apply(layer.si1, params[f"{t}_self_interaction_1"], x)
             x_ext = self._staged_ext(x1, comm)
-            if self.fused:
+            if vec_fused:
+                from ..ops.fused_conv import fused_conv_apply_ext_vec
+                from ..model.model import _edge_embed_spec
+
+                xc = fused_conv_apply_ext_vec(
+                    layer.conv, layer.radial_mlp,
+                    params[f"{t}_convolution"]["weight_nn"],
+                    coef_col,
+                    _edge_embed_spec(spec, layer),
+                    x_ext,
+                    vec_rows,
+                    comm["edge_src"],
+                    param_grads=False,
+                )
+            elif self.fused:
                 # Pallas kernels over the (NL, K) slot grid; senders index
                 # the extended set, so the scatter-add backward's ghost-row
                 # cotangents ride the halo exchange's transpose back home

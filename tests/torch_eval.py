@@ -225,6 +225,26 @@ def poly_cutoff(r, cutoff, p=6):
     return 1.0 - c0 * x**p + c1 * x ** (p + 1) - c2 * x ** (p + 2)
 
 
+def xplor_cutoff(r, cutoff, cutoff_on):
+    r_sq = r * r
+    on_sq = cutoff_on * cutoff_on
+    cut_sq = cutoff * cutoff
+    smooth = ((cut_sq - r_sq) ** 2 * (cut_sq + 2.0 * r_sq - 3.0 * on_sq)
+              / (cut_sq - on_sq) ** 3)
+    return torch.where(
+        r < cutoff_on, torch.ones_like(r),
+        torch.where(r < cutoff, smooth, torch.zeros_like(r)),
+    )
+
+
+def envelope_from_cfg(cfg, r, cutoff):
+    cf = cfg.get("cutoff_function", {"cutoff_function_name": "poly_cut"})
+    name = str(cf.get("cutoff_function_name", "poly_cut")).lower()
+    if name == "xplor":
+        return xplor_cutoff(r, cutoff, float(cf["cutoff_on"]))
+    return poly_cutoff(r, cutoff, p=int(cf.get("poly_cut_p_value", 6)))
+
+
 def sph_harm(lmax, vec, normalize=True):
     """Component-normalized real SH of (optionally normalized) vec."""
     from sevennet_tpu.so3.spherical import monomials, sh_coefficients
@@ -507,7 +527,7 @@ def evaluate_state(sd, cfg, pos, Z, cell, layer_plan, old_weight_order=False,
 
     r = edge_vec.norm(dim=-1)
     coeffs = sd["edge_embedding.basis_function.coeffs"].to(torch.float64)
-    emb = bessel(r, coeffs, cutoff) * poly_cutoff(r, cutoff).unsqueeze(-1)
+    emb = bessel(r, coeffs, cutoff) * envelope_from_cfg(cfg, r, cutoff).unsqueeze(-1)
     sh = sph_harm(lmax, edge_vec, normalize=cfg.get("_normalize_sph", True))
 
     types = torch.as_tensor([type_map[int(z)] for z in Z], dtype=torch.long)
@@ -523,11 +543,17 @@ def evaluate_state(sd, cfg, pos, Z, cell, layer_plan, old_weight_order=False,
     for t, lp in enumerate(layer_plan["layers"]):
         # self-connection maps to the GATE INPUT irreps (added pre-gate);
         # its repeated 0e blocks each get their own path
-        sc = FCTP(
-            lp["x"], onehot_irreps, lp["gate_in"],
-            sd[f"{t}_self_connection_intro.fc_tensor_product.weight"], w3j,
-        )
-        sc_out = sc(x, onehot)
+        if f"{t}_self_connection_intro.linear.weight" in sd:
+            # 'linear' self connection (sevenn/nn/self_connection.py:71-114)
+            sc_lin = Linear(lp["x"], lp["gate_in"],
+                            sd[f"{t}_self_connection_intro.linear.weight"])
+            sc_out = sc_lin(x)
+        else:
+            sc = FCTP(
+                lp["x"], onehot_irreps, lp["gate_in"],
+                sd[f"{t}_self_connection_intro.fc_tensor_product.weight"], w3j,
+            )
+            sc_out = sc(x, onehot)
         si1 = Linear(lp["x"], lp["x"],
                      sd[f"{t}_self_interaction_1.linear.weight"])
         x = si1(x)
