@@ -1,6 +1,8 @@
-"""Dump optimized HLO of the 10k MD step and summarize the big fusions.
+"""Dump optimized HLO of the exact MD scan the bench runs (engine
+_run_cache program) and summarize the biggest non-kernel fusions.
 
-Usage: python scripts_dev/r4_hlo_dump.py [n_mol]
+Usage: python scripts_dev/r4_hlo_dump.py [n_mol] [chunk]
+Writes /tmp/r4_step.hlo and prints a size/ops summary of named fusions.
 """
 import sys, os, re
 sys.path.insert(0, "/root/repo")
@@ -12,36 +14,30 @@ from sevennet_tpu.model.model import model_init
 from sevennet_tpu.md import MDEngine
 
 n_mol = int(sys.argv[1]) if len(sys.argv) > 1 else 3333
+chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 pos, Z, cell = water_box(n_mol)
 spec = flagship_spec(len(Z))
 params = model_init(jax.random.PRNGKey(0), spec)
 eng = MDEngine(spec, params, cell, matmul_precision="default")
 st = eng.make_state(pos, Z, temperature=300.0)
 
-# compile the same scan bench uses
-fn, args = eng._compiled_scan if hasattr(eng, "_compiled_scan") else (None, None)
-step = eng._step_fn("nve", 0.01)
-
-
-def scan3(state):
-    state, aux = jax.lax.scan(step, state, None, length=3)
-    return state
-
-
-lowered = jax.jit(scan3).lower(st)
-comp = lowered.compile()
-txt = comp.as_text()
-out = "/tmp/r4_step10k.hlo"
+# warm exactly like the bench (fills _run_cache with the timed program)
+st, _ = eng.run(st, chunk, dt=0.01, integrator="nve", chunk=chunk)
+(key, jitted), = list(eng._run_cache.items())
+txt = jitted.lower(st).compile().as_text()
+out = "/tmp/r4_step.hlo"
 with open(out, "w") as f:
     f.write(txt)
 print(f"wrote {len(txt)/1e6:.1f} MB to {out}")
 
-# summarize the named fusions of interest
-want = re.compile(
-    r"^\s*(ROOT\s+)?%?(fusion\.(13\d\d|12\d\d)|add_add_fusion\.\d+|"
-    r"reduce_sum\.6\d\d|divide_multiply_fusion\.\d+|copy\.19\d\d)\b.*$"
-)
+# print every fusion/reduce/copy computation header with its output shape
+pat = re.compile(r"^\s*(ROOT )?%?((fusion|reduce_sum|copy|add_add_fusion|"
+                 r"add_multiply_fusion|divide_multiply_fusion|"
+                 r"broadcast_multiply_fusion|transpose)[.\w]*) = (\S+)")
+sizes = []
 for line in txt.splitlines():
-    m = want.match(line)
+    m = pat.match(line)
     if m:
-        print(line.strip()[:400])
+        sizes.append((m.group(2), m.group(4), line.strip()[:260]))
+for name, shape, line in sizes:
+    print(f"{name:40s} {shape}")

@@ -72,11 +72,11 @@ def _vec_mode(spec) -> bool:
     kernels and compute the Bessel basis / envelope / spherical harmonics
     in-kernel — eliminates the (N*K, n_basis)/(N*K, dim_f) HBM arrays whose
     minor dims pad to 128 lanes. Requires normalized spherical harmonics
-    (the reference default) and is not yet wired for the opt-in ring
-    backward. ``SEVENNET_TPU_VEC=0`` falls back to the emb/sh kernels."""
+    (the reference default). ``SEVENNET_TPU_VEC=0`` falls back to the
+    emb/sh kernels."""
     import os
 
-    if not (spec.conv_fused and spec.normalize_sph and not spec.conv_ring):
+    if not (spec.conv_fused and spec.normalize_sph):
         return False
     return bool(int(os.environ.get("SEVENNET_TPU_VEC", 1)))
 
@@ -143,6 +143,7 @@ def _convolve_dense(spec, layer, conv_params, x, edge_emb, sh, edge_src,
                 edge_mir.reshape(n_atoms, K),
                 param_grads=spec.conv_param_grads,
                 row_chunk=row_chunk,
+                ring=spec.conv_ring,
             )
         return fused_conv_apply(
             conv,

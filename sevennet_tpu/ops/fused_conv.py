@@ -39,6 +39,7 @@ for the reference's analogous manual reverse pass.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -350,15 +351,32 @@ def fused_conv_block_atoms(K: int, target_t: int = 2816) -> int:
     ``T = A*K`` is a multiple of 128 — unaligned T (e.g. 24*72 = 1728 =
     13.5 x 128) ran the full MD step 1.4-3x slower despite similar
     isolated-kernel times. At K=72 this picks A=32 (T=2304): 68.7 ms/step
-    at 3k atoms vs 84.5 for round 2's A=24."""
+    at 3k atoms vs 84.5 for round 2's A=24.
+
+    Round-4 refinement: among aligned (A, T) choices prefer the one whose
+    K-reduce fold chain stays slice-add-aligned the deepest (every halving
+    with ``(half_k*A) % 128 == 0`` is a cheap aligned slice-add; the rest
+    fall back to ``pltpu.roll`` — ~3x dearer). Measured: K=64 A=40
+    (fold breaks at half_k=8) ran the 10k MD step at 182.9 ms vs 172.5
+    for K=64 A=32 (aligned to half_k=4)."""
     assert K % 8 == 0, "dense neighbor capacity K must be a multiple of 8"
     import os
 
     target_t = int(os.environ.get("SEVENNET_TPU_TARGET_T", target_t))
-    best = 8
+
+    def fold_depth(A: int) -> int:
+        k, d = K, 0
+        while k % 2 == 0 and ((k // 2) * A) % 128 == 0:
+            k //= 2
+            d += 1
+        return d
+
+    best, best_score = 8, (-1, 0)
     for A in range(8, max(target_t // K, 8) + 1, 8):
         if A * K <= target_t and (A * K) % 128 == 0:
-            best = A
+            score = (fold_depth(A), A)
+            if score > best_score:
+                best, best_score = A, score
     if best == 8 and (8 * K) % 128 != 0:
         # no aligned choice (e.g. K=40): fall back to the nearest size
         best = max(8, int(round(target_t / K / 8)) * 8)
@@ -882,6 +900,7 @@ def make_fused_conv_bwd2(
     param_grads: bool = True,
     interpret: Optional[bool] = None,
     embed: Optional[EdgeEmbedSpec] = None,
+    dxg_dtype=jnp.float32,
 ):
     """Round-3 backward kernel: same contract as :func:`make_fused_conv_bwd`
     but with the redundant products factored out (measured 60% of model cost
@@ -957,7 +976,14 @@ def make_fused_conv_bwd2(
                     ],
                     axis=0,
                 )  # (d3*mul, A)
-                ybt_cache[key] = jnp.concatenate([rows] * K, axis=1)
+                # lane-tile (d3*mul, A) -> (d3*mul, T): pltpu.repeat lowers
+                # to Mosaic's native lane-broadcast instead of a K-element
+                # concatenate chain (one full extra pass over the tile);
+                # env-gated for A/B on hardware
+                if int(os.environ.get("SEVENNET_TPU_YBT_REPEAT", 1)):
+                    ybt_cache[key] = pltpu.repeat(rows, K, axis=1)
+                else:
+                    ybt_cache[key] = jnp.concatenate([rows] * K, axis=1)
             return ybt_cache[key]
 
         # ---- recompute the radial MLP, keeping pre-activations ----
@@ -1069,7 +1095,7 @@ def make_fused_conv_bwd2(
                 @pl.when(jnp.logical_not(is_first0))
                 def _():
                     dcoef_ref[:] = dcoef_ref[:] + dcoef
-        dxg_ref[:] = dxscr[:].T
+        dxg_ref[:] = dxscr[:].T.astype(dxg_dtype)
 
     def fused_bwd(xg, emb, sh, ybar, mlp_ws):
         # vec mode: emb = vec (3, NK) k-major lanes, sh = coef (n_basis, 1)
@@ -1099,7 +1125,7 @@ def make_fused_conv_bwd2(
         ] + [
             pl.BlockSpec((R, dim_f), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ]
-        out_shape = [jax.ShapeDtypeStruct((NK, dim_x), jnp.float32)]
+        out_shape = [jax.ShapeDtypeStruct((NK, dim_x), dxg_dtype)]
         out_specs = [
             pl.BlockSpec((T, dim_x), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
@@ -1273,8 +1299,17 @@ def _get_kernels(conv, mlp_spec, A, K, param_grads, A_b=None, embed=None):
     key = (conv, mlp_spec, A, K, param_grads, use_bwd2, A_b, embed)
     if key not in _KERNEL_CACHE:
         if embed is not None:
+            # bf16 per-edge x-cotangents halve the mirror/scatter HBM
+            # traffic; only without param_grads (the MD path) — the
+            # second-order XLA reference is fp32 and its cotangent
+            # structure must match the kernel outputs
+            dxg_bf16 = (
+                not param_grads
+                and bool(int(os.environ.get("SEVENNET_TPU_DXG_BF16", 0)))
+            )
             bwd_kernel = make_fused_conv_bwd2(
-                conv, mlp_spec, A_b, K, param_grads=param_grads, embed=embed
+                conv, mlp_spec, A_b, K, param_grads=param_grads, embed=embed,
+                dxg_dtype=jnp.bfloat16 if dxg_bf16 else jnp.float32,
             )
             bwd_op = _make_bwd_op(
                 conv, mlp_spec, A_b, K, param_grads, bwd_kernel, embed=embed
@@ -1470,7 +1505,9 @@ def _fused_conv_v_bwd_rule(conv, mlp_spec, A, param_grads, embed, res, ybar):
     r_loc = mir_nk // K
     kk = mir_nk - r_loc * K
     km = (r_loc // A_b) * (K * A_b) + kk * A_b + (r_loc % A_b)
-    dx = jnp.sum(dxg_km[km.reshape(-1)].reshape(N, K, -1), axis=1)
+    dx = jnp.sum(
+        dxg_km[km.reshape(-1)].astype(jnp.float32).reshape(N, K, -1), axis=1
+    )
     x_dtype = xg.dtype if x_rows is None else x_rows.dtype
     return (
         dmlp,
@@ -1488,22 +1525,26 @@ _fused_conv_v.defvjp(_fused_conv_v_fwd_rule, _fused_conv_v_bwd_rule)
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _fused_conv_chunked_v(conv, mlp_spec, A, param_grads, embed, RC, mlp_ws,
                           coef, x, vec_rows, src_nk):
-    # vec_rows is ROW-major (3, N*K) — each chunk converts its own slice to
-    # k-major lanes (cheap: 3 rows), so callers need no A-dependent layout
+    # vec_rows is ROW-major (3, N*K) — each chunk dynamic-slices its own
+    # lane span and converts to k-major (cheap: 3 rows). NEVER reshape it
+    # to (3, nb, RCK) and permute for scan xs: XLA pads the permuted copy's
+    # minor dims to (8, 128) tiles — 42.7x expansion, 4.2 GB at 100k atoms
     N, K = src_nk.shape
     fwd, _, _ = _get_kernels(conv, mlp_spec, A, K, param_grads, embed=embed)
     nb = N // RC
     RCK = RC * K
 
     def chunk(carry, sl):
-        src_c, vec_c = sl
+        i, src_c = sl
+        vec_c = jax.lax.dynamic_slice_in_dim(vec_rows, i * RCK, RCK, 1)
         xg = x[to_k_major(src_c, A)]
         out = fwd(xg, to_k_major_rows(vec_c, A, K), coef, tuple(mlp_ws))
         return carry, jax.lax.optimization_barrier(out)
 
     src_s = src_nk.reshape(nb, RC, K)
-    vec_s = vec_rows.reshape(3, nb, RCK).swapaxes(0, 1)
-    _, outs = jax.lax.scan(chunk, 0, (src_s, vec_s))
+    _, outs = jax.lax.scan(
+        chunk, 0, (jnp.arange(nb, dtype=jnp.int32), src_s)
+    )
     return outs.reshape(N, -1)
 
 
@@ -1525,10 +1566,11 @@ def _fused_conv_chunked_v_bwd(conv, mlp_spec, A, param_grads, embed, RC,
     RCK = RC * K
 
     def chunk(carry, sl):
-        dx, dmlp, dcoef = carry
-        src_c, vec_c, yb_c = sl
+        dx, dmlp, dcoef, dvec = carry
+        i, src_c, yb_c = sl
         src_km = to_k_major(src_c, A_b)
         xg = x[src_km]
+        vec_c = jax.lax.dynamic_slice_in_dim(vec_rows, i * RCK, RCK, 1)
         outs = bwd(xg, to_k_major_rows(vec_c, A_b, K), coef, yb_c,
                    tuple(mlp_ws))
         if param_grads:
@@ -1537,22 +1579,25 @@ def _fused_conv_chunked_v_bwd(conv, mlp_spec, A, param_grads, embed, RC,
             dcoef = dcoef + extras[-1]
         else:
             dxg_km, dvec_b = outs
-        dvec_c = from_k_major_rows(dvec_b, A_b, K)
-        dx = dx.at[src_km].add(dxg_km)
-        return (dx, dmlp, dcoef), dvec_c
+        # accumulate dvec IN-PLACE in the carry (scan aliases carry
+        # buffers) — stacked ys would be permuted+padded by XLA (42.7x)
+        dvec = jax.lax.dynamic_update_slice_in_dim(
+            dvec, from_k_major_rows(dvec_b, A_b, K), i * RCK, 1
+        )
+        dx = dx.at[src_km].add(dxg_km.astype(dx.dtype))
+        return (dx, dmlp, dcoef, dvec), None
 
     src_s = src_nk.reshape(nb, RC, K)
-    vec_s = vec_rows.reshape(3, nb, RCK).swapaxes(0, 1)
     yb_s = ybar.reshape(nb, RC, -1)
     dmlp0 = tuple(jnp.zeros_like(w) for w in mlp_ws)
     dcoef0 = jnp.zeros_like(coef)
-    (dx, dmlp, dcoef), dvec_s = jax.lax.scan(
+    dvec0 = jnp.zeros((3, N * K), jnp.float32)
+    (dx, dmlp, dcoef, dvec), _ = jax.lax.scan(
         chunk,
-        (jnp.zeros((x.shape[0], dim_x), x.dtype), dmlp0, dcoef0),
-        (src_s, vec_s, yb_s),
+        (jnp.zeros((x.shape[0], dim_x), x.dtype), dmlp0, dcoef0, dvec0),
+        (jnp.arange(nb, dtype=jnp.int32), src_s, yb_s),
     )
     dmlp = tuple(g.astype(w.dtype) for g, w in zip(dmlp, mlp_ws))
-    dvec = dvec_s.swapaxes(0, 1).reshape(3, N * K)
     return (
         dmlp,
         dcoef.astype(coef.dtype),
@@ -1793,6 +1838,133 @@ def _fused_conv_ring_bwd(conv, mlp_spec, A, param_grads, RC, res, ybar):
 _fused_conv_ring.defvjp(_fused_conv_ring_fwd, _fused_conv_ring_bwd)
 
 
+# ---------------------------------------------------------------------------
+# vec-mode ring mirror backward (round 4): the ring/halo accumulation above
+# combined with the in-kernel edge embedding. This is the production path
+# for 100k+-atom MD: the scatter-add per-chunk dx accumulation (the 50k+
+# cost cliff) is replaced by the contiguous 3-chunk mirror gather, and the
+# (N*K, n_basis)/(N*K, dim_f) HBM arrays never exist. Same window contract
+# as `_fused_conv_ring` (cell-sorted atoms, mirrors within one row chunk).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _fused_conv_ring_v(conv, mlp_spec, A, param_grads, embed, RC, mlp_ws,
+                       coef, x, vec_rows, src_nk, mir_nk):
+    N, K = src_nk.shape
+    fwd, _, _ = _get_kernels(conv, mlp_spec, A, K, param_grads, embed=embed)
+    nb = N // RC
+    RCK = RC * K
+
+    def chunk(carry, sl):
+        i, src_c = sl
+        vec_c = jax.lax.dynamic_slice_in_dim(vec_rows, i * RCK, RCK, 1)
+        xg = x[to_k_major(src_c, A)]
+        out = fwd(xg, to_k_major_rows(vec_c, A, K), coef, tuple(mlp_ws))
+        return carry, jax.lax.optimization_barrier(out)
+
+    src_s = src_nk.reshape(nb, RC, K)
+    _, outs = jax.lax.scan(
+        chunk, 0, (jnp.arange(nb, dtype=jnp.int32), src_s)
+    )
+    return outs.reshape(N, -1)
+
+
+def _fused_conv_ring_v_fwd(conv, mlp_spec, A, param_grads, embed, RC, mlp_ws,
+                           coef, x, vec_rows, src_nk, mir_nk):
+    out = _fused_conv_ring_v(conv, mlp_spec, A, param_grads, embed, RC,
+                             mlp_ws, coef, x, vec_rows, src_nk, mir_nk)
+    return out, (mlp_ws, coef, x, vec_rows, src_nk, mir_nk)
+
+
+def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, res,
+                           ybar):
+    mlp_ws, coef, x, vec_rows, src_nk, mir_nk = res
+    N, K = src_nk.shape
+    dim_x = conv.irreps_x.dim
+    _, bwd, A_b = _get_kernels(conv, mlp_spec, A, K, param_grads,
+                               embed=embed)
+    nb = N // RC
+    RCK = RC * K
+    assert nb >= 3, "ring backward needs at least 3 row chunks"
+
+    def slc(a, start, span=1):
+        return jax.lax.dynamic_slice_in_dim(a, start, span * RC, 0)
+
+    mir_ext = jnp.concatenate([mir_nk[N - RC:], mir_nk, mir_nk[:RC]], 0)
+
+    def iteration(carry, i):
+        dmlp, dcoef, dx_ext, dvec = carry
+        start = i * RC
+        src_c = slc(src_nk, start)
+        src_km = to_k_major(src_c, A_b)
+        xg = x[src_km]
+        vec_c = jax.lax.dynamic_slice_in_dim(vec_rows, start * K, RCK, 1)
+        outs = bwd(xg, to_k_major_rows(vec_c, A_b, K), coef,
+                   slc(ybar, start), tuple(mlp_ws))
+        if param_grads:
+            dxg_km, dvec_b, extras = outs
+            dmlp = tuple(a + b for a, b in zip(dmlp, extras[:-1]))
+            dcoef = dcoef + extras[-1]
+        else:
+            dxg_km, dvec_b = outs
+        # dvec accumulates IN-PLACE in the carry: stacked ys would be
+        # permuted+padded by XLA (42.7x expansion at 100k atoms)
+        dvec = jax.lax.dynamic_update_slice_in_dim(
+            dvec, from_k_major_rows(dvec_b, A_b, K), start * K, 1
+        )
+        # mirror rows of chunks (i-1, i, i+1) — the only rows whose mirrors
+        # can point into chunk i (window contract); gather straight from
+        # the K-MAJOR dxg (bf16 when SEVENNET_TPU_DXG_BF16 — half traffic)
+        m3 = slc(mir_ext, start, 3)                     # (3RC, K)
+        q = m3 // RCK
+        sel = q == i
+        o = jnp.where(sel, m3 - i * RCK, 0)
+        r_loc = o // K
+        kk = o - r_loc * K
+        km = (
+            (r_loc // A_b) * (K * A_b) + kk * A_b
+            + r_loc - (r_loc // A_b) * A_b
+        )
+        contrib = jnp.where(
+            sel[..., None],
+            dxg_km[km.reshape(-1)]
+            .astype(jnp.float32)
+            .reshape(3 * RC, K, dim_x),
+            0.0,
+        ).sum(axis=1)                                   # (3RC, dim_x)
+        cur = slc(dx_ext, start, 3)
+        dx_ext = jax.lax.dynamic_update_slice_in_dim(
+            dx_ext, cur + contrib, start, 0
+        )
+        return (dmlp, dcoef, dx_ext, dvec), None
+
+    dmlp0 = tuple(jnp.zeros_like(w) for w in mlp_ws)
+    dcoef0 = jnp.zeros_like(coef)
+    dx_ext0 = jnp.zeros((N + 2 * RC, dim_x), jnp.float32)
+    dvec0 = jnp.zeros((3, N * K), jnp.float32)
+    (dmlp, dcoef, dx_ext, dvec), _ = jax.lax.scan(
+        iteration, (dmlp0, dcoef0, dx_ext0, dvec0),
+        jnp.arange(nb, dtype=jnp.int32),
+    )
+    # fold the wrapped halo spans back onto chunks nb-1 and 0
+    dx = dx_ext[RC : RC + N]
+    dx = dx.at[N - RC :].add(dx_ext[:RC])
+    dx = dx.at[:RC].add(dx_ext[N + RC :])
+    dmlp = tuple(g.astype(w.dtype) for g, w in zip(dmlp, mlp_ws))
+    return (
+        dmlp,
+        dcoef.astype(coef.dtype),
+        dx.astype(x.dtype),
+        dvec.astype(vec_rows.dtype),
+        np.zeros(src_nk.shape, jax.dtypes.float0),
+        np.zeros(mir_nk.shape, jax.dtypes.float0),
+    )
+
+
+_fused_conv_ring_v.defvjp(_fused_conv_ring_v_fwd, _fused_conv_ring_v_bwd)
+
+
 def fused_conv_apply(
     conv: ConvTPSpec,
     mlp_spec: ScalarMLPSpec,
@@ -1875,6 +2047,7 @@ def fused_conv_apply_vec(
     block_atoms: int = 0,
     param_grads: bool = True,
     row_chunk: int = 0,
+    ring: bool = False,
 ):
     """Vec-mode fused Pallas conv: the Bessel basis, cutoff envelope and
     spherical harmonics are computed in-kernel from the raw edge vectors
@@ -1882,12 +2055,22 @@ def fused_conv_apply_vec(
     ``dvec`` in-kernel). Eliminates the (N*K, n_basis)/(N*K, dim_f) HBM
     arrays, whose minor dims pad to 128 lanes (14-16x traffic waste), their
     k-major relayouts, and their XLA backward chains. See
-    :func:`fused_conv_apply` for the chunking contract."""
+    :func:`fused_conv_apply` for the chunking and ring contracts."""
     K = src_nk.shape[1]
     A = block_atoms or fused_conv_block_atoms(K)
     n = x.shape[0]
     assert n % A == 0, (n, A)
     ws = tuple(mlp_params["w"]) if isinstance(mlp_params, dict) else tuple(mlp_params)
+    if ring and row_chunk and row_chunk < n:
+        RC = (row_chunk // A) * A
+        assert RC > 0 and n % RC == 0 and n // RC >= 3, (
+            f"ring backward needs row_chunk ({RC}) to divide the atom "
+            f"capacity ({n}) into >= 3 chunks"
+        )
+        return _fused_conv_ring_v(
+            conv, mlp_spec, A, bool(param_grads), embed, RC, ws,
+            bessel_coef, x, vec_rows, src_nk, mir_nk,
+        )
     if row_chunk and row_chunk < n:
         RC = max(A, (row_chunk // A) * A)
         Np = -(-n // RC) * RC

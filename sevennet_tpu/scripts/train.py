@@ -120,10 +120,20 @@ def train_run(
         model_cfg["chemical_species"] = species
         log.format_k_v("chemical_species (auto)", species)
 
-    _resolve_statistics(model_cfg, data_cfg, trainset, log)
+    # continue: the spec (incl. frozen shift/scale/denominator statistics,
+    # processing_continue.py:43-55) comes from the checkpoint — do NOT
+    # resolve statistics from the new dataset or rebuild from model_cfg
+    cont = train_cfg.get("continue", {}) or {}
+    _cont_loaded = None
+    if cont.get("checkpoint"):
+        from ..io.native_checkpoint import load_checkpoint
 
-    # model
-    spec = build_model_spec(model_cfg)
+        _cont_loaded = load_checkpoint(cont["checkpoint"])
+        spec = _cont_loaded[0]
+    else:
+        _resolve_statistics(model_cfg, data_cfg, trainset, log)
+        # model
+        spec = build_model_spec(model_cfg)
     z2t = spec.z_to_type
     n_cores = int(data_cfg.get("preprocess_num_cores", 1))
     trainset.build(z2t, processes=n_cores)
@@ -151,14 +161,11 @@ def train_run(
     # continue?
     import jax
 
-    cont = train_cfg.get("continue", {}) or {}
     start_epoch = 0
     cont_opt_state = None
     cont_meta = {}
     if cont.get("checkpoint"):
-        from ..io.native_checkpoint import load_checkpoint
-
-        spec_cp, params, meta = load_checkpoint(cont["checkpoint"])
+        spec_cp, params, meta = _cont_loaded
         spec = spec_cp
         if dense_k:
             import dataclasses

@@ -338,3 +338,75 @@ def test_fused_grad_of_grad_matches_xla(wrt):
                     jax.tree_util.tree_leaves(g_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-5, rtol=2e-4)
+
+
+def _chain_vec_setup(N=48, K=8, seed=0):
+    """Circular helix chain for the VEC-mode kernels: real positions give
+    consistent edge vectors (vec_ji = -vec_ij, the mirror contract), with
+    every mirror within 2 rows — the ring-backward window."""
+    from sevennet_tpu.ops.fused_conv import EdgeEmbedSpec
+
+    x_ir = Irreps("8x0e+8x1e+8x2e")
+    tgt = infer_irreps_out(x_ir, F_IR, 2, "full")
+    conv = ConvTPSpec(x_ir, F_IR, tgt)
+    mlp = ScalarMLPSpec((8, 16, 16, conv.weight_numel))
+    embed = EdgeEmbedSpec(n_basis=8, cutoff=3.0, cutoff_kind="XPLOR",
+                          cutoff_arg=2.5, lmax=2)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    x = jax.random.normal(ks[0], (N, x_ir.dim)) * 0.5
+    # helix positions, spacing ~1.1 along the axis; PBC along x
+    t = np.arange(N)
+    pos = np.stack([1.1 * t, 0.3 * np.sin(0.7 * t), 0.3 * np.cos(0.7 * t)],
+                   axis=1)
+    L = 1.1 * N
+    offsets = [-2, -1, 1, 2]
+    src = np.tile(np.arange(N, dtype=np.int32)[:, None], (1, K))
+    shift = np.zeros((N, K, 3), np.float32)
+    mask = np.zeros((N, K), bool)
+    vec = np.zeros((N, K, 3), np.float32)
+    vec[:, :, 0] = 2.0 * embed.cutoff  # sentinel on padded slots
+    for k, o in enumerate(offsets):
+        j = np.arange(N) + o
+        shift[:, k, 0] = np.where(j >= N, 1.0, np.where(j < 0, -1.0, 0.0))
+        src[:, k] = j % N
+        mask[:, k] = True
+        vec[:, k] = pos[j % N] + shift[:, k, 0:1] * np.array([[L, 0, 0]]) - pos
+    assert (np.linalg.norm(vec[mask], axis=-1) < embed.cutoff).all()
+    mlp_p = scalar_mlp_init(ks[4], mlp)
+    coef = jnp.linspace(1.0, float(embed.n_basis), embed.n_basis).reshape(-1, 1)
+    mir = mirror_map(jnp.asarray(src), jnp.asarray(shift), jnp.asarray(mask))
+    vec_rows = jnp.asarray(vec.reshape(N * K, 3).T)  # (3, N*K) row-major
+    return conv, mlp, embed, mlp_p, coef, x, vec_rows, jnp.asarray(src), mir
+
+
+@pytest.mark.parametrize("param_grads", [False, True])
+def test_fused_vec_ring_matches_unchunked(param_grads):
+    """Vec-mode ring mirror backward (round 4 — the production 100k path:
+    in-kernel edge embedding + halo-accumulated dx) == the unchunked
+    vec-mode mirror path, incl. the periodic wrap chunks."""
+    from sevennet_tpu.ops.fused_conv import fused_conv_apply_vec
+
+    conv, mlp, embed, mlp_p, coef, x, vec_rows, src, mir = _chain_vec_setup()
+    RC = 16
+    cot = jax.random.normal(jax.random.PRNGKey(9),
+                            (x.shape[0], conv.irreps_mid.dim)) * 0.1
+
+    def loss(p, coef, x, vec, rc, ring):
+        out = fused_conv_apply_vec(conv, mlp, p, coef, embed, x, vec, src,
+                                   mir, block_atoms=8,
+                                   param_grads=param_grads,
+                                   row_chunk=rc, ring=ring)
+        return jnp.sum(out * cot), out
+
+    (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                      has_aux=True)(
+        mlp_p, coef, x, vec_rows, 0, False)
+    (l2, o2), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                      has_aux=True)(
+        mlp_p, coef, x, vec_rows, RC, True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)

@@ -316,3 +316,53 @@ def test_train_fused_matches_dense(tiny_dataset, tmp_path, monkeypatch):
         np.testing.assert_allclose(
             vals["fused"][k], v, rtol=2e-3, atol=1e-6, err_msg=k
         )
+
+
+def test_finetune_from_reference_checkpoint(tmp_path, reference_checkpoint_path):
+    """VERDICT r3 #7: fine-tune FROM the stock SevenNet ``cp_0.pth``
+    (continue semantics: weights + frozen statistics from the checkpoint,
+    ``processing_continue.py:16-92``) on a tiny labeled HfO2 set; the
+    error-recorder training metrics must decrease."""
+    from sevennet_tpu.data.extxyz import write_extxyz
+    from sevennet_tpu.scripts.train import train_run
+
+    rng = np.random.default_rng(3)
+    frames = []
+    for i in range(6):
+        n = 8
+        cell = np.eye(3) * 5.2
+        pos = rng.uniform(0, 5.2, (n, 3))
+        Z = rng.choice([72, 8], n)
+        frames.append(
+            AtomsLite(positions=pos, numbers=Z, cell=cell, pbc=True,
+                      energy=float(-3.0 * n + 0.05 * rng.normal()),
+                      forces=rng.normal(size=(n, 3)) * 0.05)
+        )
+    path = tmp_path / "hfo2.extxyz"
+    write_extxyz(str(path), frames)
+
+    # cutoff must match the checkpoint (a real continue yaml carries the
+    # full model section; spec itself is inherited from the checkpoint)
+    model_cfg = {"cutoff": 4.0, "chemical_species": ["Hf", "O"]}
+    train_cfg = {
+        "epoch": 3,
+        "loss": "mse",
+        "optimizer": "adam",
+        "optim_param": {"lr": 0.002},
+        "force_loss_weight": 0.1,
+        "is_train_stress": False,
+        "random_seed": 1,
+        "continue": {"checkpoint": reference_checkpoint_path,
+                     "reset_epoch": True},
+    }
+    data_cfg = {"batch_size": 3, "load_trainset_path": [str(path)],
+                "ratio": 0.34}
+    wd = str(tmp_path / "wd_ft")
+    train_run(model_cfg, train_cfg, data_cfg, working_dir=wd)
+
+    lc = open(os.path.join(wd, "lc.csv")).read().strip().splitlines()
+    header = lc[0].split(",")
+    i_loss = header.index("train_loss_total")
+    first = float(lc[1].split(",")[i_loss])
+    last = float(lc[-1].split(",")[i_loss])
+    assert last < first, (first, last)
