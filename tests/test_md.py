@@ -186,7 +186,13 @@ def test_engine_stress_and_pressure_sign():
     """Virial pressure from the engine must match -dE/dV (FD over isotropic
     scaling) at zero velocity. Uses a compressed box so P >> fp32 noise."""
     engine, pos, Z, cell = _hfo2_engine(3)
-    comp = 0.94  # compress for a strong positive pressure signal
+    # compress for a strong positive pressure signal. 0.82 (not 0.94): the
+    # e3nn gate/sort semantics fix (pinned by reference TorchScript
+    # execution, see test_deployed_golden) changed what this RANDOM-weight
+    # model predicts, and at 6% compression its pressure is legitimately
+    # slightly negative (virial and -dE/dV agree to 0.3% there — the FD
+    # consistency this test actually guards held throughout)
+    comp = 0.82
 
     def state_at_scale(s):
         eng2, _, _, _ = _hfo2_engine(3)
