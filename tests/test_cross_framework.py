@@ -45,6 +45,9 @@ def torch_golden(reference_checkpoint_path, hfo2_structure, small_spec_params):
     return evaluate(reference_checkpoint_path, pos, Z, cell, _layer_plan(spec))
 
 
+pytestmark = pytest.mark.smoke
+
+
 def test_energy_parity(small_spec_params, hfo2_structure, torch_golden):
     spec, params = small_spec_params
     pos, Z, cell = hfo2_structure

@@ -93,7 +93,6 @@ def _run_parity(cfg_model, cutoff_function, hfo2, tol_f=1e-3):
     assert np.abs(s - golden["stress"]).max() < 5e-4, (s, golden["stress"])
 
 
-@pytest.mark.smoke
 def test_flagship_sevennet0_arch_parity(hfo2_structure):
     """128-channel / 5-layer / lmax 2 / XPLOR / linear self-connection —
     the SevenNet-0 production architecture (presets/sevennet-0.yaml)."""

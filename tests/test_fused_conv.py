@@ -211,6 +211,7 @@ def test_fused_bwd_block_mismatch(monkeypatch, saved):
     ("4x0e+4x0o+4x1o+4x1e+4x2e+4x2o", 2, -1),
     ("4x0e+4x1o+4x2e+4x3o", 3, -1),
 ])
+@pytest.mark.slow
 def test_fused_lmax3_and_parity_matches_xla(x_str, lmax, sph_p):
     """Fused kernels at lmax=3 and with parity on: forward AND the full
     gradient set vs the XLA dense path. Closes the round-2 gap: the fused

@@ -1,6 +1,11 @@
 from sevennet_tpu.irreps import Irrep, Irreps, full_tensor_product_irreps, infer_irreps_out
 
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
+
 def test_parse_repr():
     ir = Irreps("128x0e+64x1o+32x2e")
     assert ir.dim == 128 + 64 * 3 + 32 * 5

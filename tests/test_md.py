@@ -307,6 +307,7 @@ def test_read_poscar(tmp_path):
     np.testing.assert_allclose(at.positions[1], [2.55, 2.55, 0.0])
 
 
+@pytest.mark.slow
 def test_sorted_atoms_matches_unsorted():
     """MDEngine(sort_atoms=True): cell-id atom reordering at rebuilds is
     physics-neutral; state.atom_index recovers the input order."""
@@ -407,6 +408,7 @@ def test_auto_capacity_growth():
     assert eng.cl_spec.neighbor_capacity > max(true_max // 2, 4)
 
 
+@pytest.mark.slow
 def test_npt_mtk_conserves_invariant():
     """MTK Nose-Hoover NPT (fix-npt analogue): the extended-system
     invariant H' = PE+KE+thermostat+barostat+P*V must be ~conserved, and

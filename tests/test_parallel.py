@@ -51,7 +51,10 @@ def _mesh(n):
     return Mesh(np.array(devs), axis_names=("dd",))
 
 
-@pytest.mark.parametrize("n_dev", [1, 2, 4])
+@pytest.mark.parametrize(
+    "n_dev",
+    [1, pytest.param(2, marks=pytest.mark.smoke), 4],
+)
 def test_distributed_matches_serial(system, spec_params, n_dev):
     from sevennet_tpu.parallel import distributed_compute, partition_system
 
@@ -112,6 +115,7 @@ def test_partition_rejects_thin_slabs(system, spec_params):
     ((4,), ("dd",)),          # 1-D slabs
     ((2, 2, 2), ("dx", "dy", "dz")),  # 3-D bricks, staged CommBrick swaps
 ])
+@pytest.mark.slow
 def test_distributed_md_matches_serial(mesh_shape, names):
     """Domain-decomposed NVE over a virtual mesh == single-device MD over
     >= 50 steps (energies + sorted positions), with migration and in-scan
@@ -187,6 +191,7 @@ def test_distributed_md_matches_serial(mesh_shape, names):
     )
 
 
+@pytest.mark.slow
 def test_distributed_thermostats_regulate():
     """Distributed NVT: Nose-Hoover (global-KE chain) and Langevin
     (per-device noise) heat a cold system toward the target over a 2x2
@@ -231,6 +236,7 @@ def test_distributed_thermostats_regulate():
         assert int(np.asarray(st.atom_mask).sum()) == len(pos)
 
 
+@pytest.mark.slow
 def test_distributed_stress_matches_serial():
     """Strain-probe stress over a 2x2x2 brick mesh == the serial engine's
     (edge-local virial stays exact under decomposition,
@@ -270,6 +276,7 @@ def test_distributed_stress_matches_serial():
     assert np.isfinite(float(e))
 
 
+@pytest.mark.slow
 def test_distributed_fused_conv_matches_xla():
     """The fused Pallas conv over the extended (owned+ghost) set with the
     scatter-add backward (`fused_conv_apply_ext`) reproduces the XLA
@@ -317,6 +324,7 @@ def test_distributed_fused_conv_matches_xla():
     )
 
 
+@pytest.mark.slow
 def test_distributed_md_triclinic_matches_serial():
     """Triclinic cell over a 2x2 brick mesh: the fractional-space brick
     decomposition (prism bricks, the CommBrick triclinic analogue,
@@ -391,6 +399,7 @@ def test_distributed_md_triclinic_matches_serial():
     )
 
 
+@pytest.mark.slow
 def test_distributed_d3_matches_serial():
     """Distributed MD with D3 dispersion == serial MD with D3 over a 2x2
     brick mesh (the reference runs ``pair d3`` alongside the parallel pair
@@ -458,6 +467,7 @@ def test_distributed_d3_matches_serial():
     )
 
 
+@pytest.mark.slow
 def test_distributed_npt_matches_serial():
     """Distributed MTK NPT == serial MTK NPT over a 2x2 brick mesh: the
     replicated piston (psum'd global KE + strain-probe virial) must

@@ -5,6 +5,9 @@ from sevennet_tpu.so3 import real_wigner_3j, spherical_harmonics
 from sevennet_tpu.so3.spherical import sh_coefficients
 
 
+pytestmark = pytest.mark.smoke
+
+
 def test_w3j_frobenius_norm():
     for l1, l2, l3 in [(1, 1, 1), (1, 1, 2), (2, 2, 3), (3, 2, 1), (0, 2, 2)]:
         w = real_wigner_3j(l1, l2, l3)

@@ -318,6 +318,7 @@ def test_train_fused_matches_dense(tiny_dataset, tmp_path, monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_finetune_from_reference_checkpoint(tmp_path, reference_checkpoint_path):
     """VERDICT r3 #7: fine-tune FROM the stock SevenNet ``cp_0.pth``
     (continue semantics: weights + frozen statistics from the checkpoint,
