@@ -352,20 +352,33 @@ def model_energy(
     dtype = edge_vec.dtype
     atom_mask = graph.atom_mask.astype(dtype)
     edge_mask = graph.edge_mask.astype(dtype)
+    n_edges = graph.edge_mask.shape[0]
+    # edge vectors may come TRANSPOSED as (3, E): every (E, 3)-shaped op
+    # pads its minor dim to the 128-lane tile on TPU, so the production
+    # vec-mode force path keeps vectors (and their cotangents) in 3-row
+    # layout end-to-end (see model_compute)
+    transposed = edge_vec.ndim == 2 and edge_vec.shape == (3, n_edges)
 
     # guard padded edges: replace with a sentinel vector BEYOND the cutoff
     # so norms/grads are finite and the clamped envelope zeroes them (the
     # vec-mode kernels rely on this; the XLA path additionally masks)
     fallback = jnp.array([2.0 * spec.cutoff, 0.0, 0.0], dtype=dtype)
-    ev = jnp.where(graph.edge_mask[:, None], edge_vec, fallback)
+    if transposed:
+        ev3 = jnp.where(
+            graph.edge_mask[None, :], edge_vec, fallback[:, None]
+        )
+    else:
+        ev = jnp.where(graph.edge_mask[:, None], edge_vec, fallback)
 
     if spec.edge_dense_k > 0 and _vec_mode(spec):
         # vec-mode fused conv: no (E, n_basis)/(E, dim_f) arrays — ship the
         # k-major (3, E) edge vectors + Bessel coefficient column instead;
         # the kernels do basis/envelope/spherical harmonics themselves
-        edge_emb = ev.T  # (3, E) row-major; kernels relayout per block
+        edge_emb = ev3 if transposed else ev.T
         sh = params["edge_embedding"]["bessel_coeffs"][:, None]
     else:
+        if transposed:
+            ev = ev3.T
         r = jnp.linalg.norm(ev, axis=-1)
         basis = bessel_basis(
             r, params["edge_embedding"]["bessel_coeffs"], spec.cutoff
@@ -511,6 +524,45 @@ def model_compute(
     stress ``-sum virial / V`` in Voigt order (xx,yy,zz,xy,yz,zx) — exactly
     the reference ``ForceStressOutputFromEdge`` (``force_output.py:171-230``).
     """
+    n = graph.n_atoms_cap
+    K = spec.edge_dense_k
+    if K > 0 and _vec_mode(spec) and graph.edge_mir is not None:
+        # transposed force path: every (E, 3)-shaped tensor pads its minor
+        # dim to the 128-lane tile on TPU (~42x traffic waste), so keep the
+        # edge vectors, their cotangents, and the whole force/virial
+        # assembly in 3-row (3, E) layout. The src-side sums use the
+        # mirror permutation (edges with src=i are exactly the mirrors of
+        # receiver-row i) instead of a segment_sum scatter.
+        ev3 = graph.edge_vectors().T  # one transpose; not in the grad path
+
+        def etot3(ev3):
+            out = model_energy(spec, params, graph, ev3)
+            return jnp.sum(out["energy"]), out
+
+        (_, out), fij3 = jax.value_and_grad(etot3, has_aux=True)(ev3)
+        mir = graph.edge_mir
+        pf3 = fij3.reshape(3, n, K).sum(2)
+        nf3 = fij3[:, mir].reshape(3, n, K).sum(2)
+        am = graph.atom_mask.astype(fij3.dtype)
+        out["forces"] = ((pf3 - nf3) * am[None, :]).T
+
+        if compute_stress:
+            r0, r1, r2 = ev3[0], ev3[1], ev3[2]
+            f0, f1, f2 = fij3[0], fij3[1], fij3[2]
+            v6 = jnp.stack(
+                [r0 * f0, r1 * f1, r2 * f2, r0 * f1, r1 * f2, r2 * f0]
+            )  # (6, E), reference Voigt order (xx,yy,zz,xy,yz,zx)
+            # per-atom virial at the SENDER (reference
+            # force_output.py:197-228): src-side sum via the mirror rows
+            av6 = -v6[:, mir].reshape(6, n, K).sum(2)       # (6, N)
+            atomic_virial = av6.T
+            virial_graph = jax.ops.segment_sum(
+                atomic_virial, graph.batch, num_segments=graph.n_graphs_cap
+            )
+            out["atomic_virial"] = atomic_virial
+            out["stress"] = virial_graph / graph.volume[:, None]
+        return out
+
     edge_vec = graph.edge_vectors()
 
     def etot(ev):
@@ -519,7 +571,6 @@ def model_compute(
 
     (_, out), fij = jax.value_and_grad(etot, has_aux=True)(edge_vec)
 
-    n = graph.n_atoms_cap
     pf = jax.ops.segment_sum(fij, graph.edge_dst, num_segments=n)
     nf = jax.ops.segment_sum(fij, graph.edge_src, num_segments=n)
     forces = (pf - nf) * graph.atom_mask.astype(fij.dtype)[:, None]
