@@ -219,7 +219,7 @@ class MDEngine:
             if (
                 self.spec.edge_dense_k != self.k_model
                 or self.spec.conv_fused != self.fused
-                or self.spec.conv_ring != bool(self._ring_nb)
+                or self.spec.conv_ring != (self._ring_w if self._ring_nb else 0)
                 or self.spec.edge_chunk != edge_chunk
             ):
                 # edge_chunk is reused by the dense path as the atom-block
@@ -229,7 +229,7 @@ class MDEngine:
                     edge_dense_k=self.k_model,
                     conv_fused=self.fused,
                     conv_param_grads=self._fused_param_grads,
-                    conv_ring=bool(self._ring_nb),
+                    conv_ring=self._ring_w if self._ring_nb else 0,
                     edge_chunk=edge_chunk,
                 )
         if self.sort_atoms is None:
@@ -319,22 +319,38 @@ class MDEngine:
         path) from the host-measured mirror window. Returns the (possibly
         enlarged) atom capacity ``nb * RC``; leaves the ring off
         (``row_chunk = 0``) when chunking is not engaged, the user opted
-        out of sorting, or the geometry leaves < 3 chunks."""
+        out of sorting, or the geometry leaves < 2W+1 chunks.
+
+        Round 4: the vec-mode ring takes a W-chunk mirror window, so the
+        row chunk stays edge_chunk-sized and W = ceil(window / RC) —
+        the r3 1-chunk ring was forced to RC >= window (9.1k rows at
+        100k) and lost to the scatter path on 3x dxg reads of huge
+        chunks. With W decoupled it replaces the colliding dx
+        scatter-add (145 ms/layer/step at 100k, the top trace item) with
+        mirror gathers. ``SEVENNET_TPU_RING=0`` opts out; the non-vec
+        kernels keep the W=1 contract."""
+        import dataclasses
         import os
+
+        from ..model.model import _vec_mode
 
         self.row_chunk = 0
         self._ring_nb = 0
-        # DEFAULT OFF (round-3 measured, PLAN.md): at 100k the halo mirror
-        # gather spans 3 row chunks (window 7.4k rows -> 9.1k-row chunks),
-        # reading 3x the dxg per layer — 4816 ms/step vs 3188 for the
-        # scatter-add backward it was meant to replace. Opt back in with
-        # SEVENNET_TPU_RING=1 (correct; wins only if the mirror window is
-        # much smaller than the scatter path's row chunk).
+        self._ring_w = 0
         ring_env = os.environ.get("SEVENNET_TPU_RING")
+        vec = _vec_mode(
+            dataclasses.replace(self.spec, conv_fused=True, conv_ring=0)
+        )
+        if ring_env is not None:
+            use_ring = bool(int(ring_env))
+        else:
+            # default: on for the vec kernels (windowed gather), off for
+            # the legacy non-vec path (measured slower there, r3)
+            use_ring = vec
         if (
             not self.spec.edge_chunk
             or self.sort_atoms is False
-            or not (ring_env and int(ring_env))
+            or not use_ring
         ):
             return n_cap
         from ..ops.fused_conv import chunk_threshold
@@ -347,19 +363,27 @@ class MDEngine:
             ncx = max(self.cl_spec.n_cells[0], 1)
             self._ring_window = int(np.ceil(1.5 * n_cap / ncx))
         window = int(np.ceil(self._ring_margin * self._ring_window))
-        rc0 = max(self.spec.edge_chunk // self.k_model, window, A)
+        if vec:
+            rc0 = max(self.spec.edge_chunk // self.k_model, A)
+        else:
+            rc0 = max(self.spec.edge_chunk // self.k_model, window, A)
         nb = n_cap // rc0
         if nb < 3:
             return n_cap  # too few chunks: fall back to scatter-add
         RC = -(-(-(-n_cap // nb)) // A) * A  # ceil(n_cap/nb) to A multiple
+        W = max(1, -(-window // RC)) if vec else 1
+        if nb < 2 * W + 1:
+            return n_cap  # window spans the whole box: scatter-add
         self.row_chunk = RC
         self._ring_nb = nb
+        self._ring_w = W
         if self.sort_atoms is None:
             self.sort_atoms = True
         return nb * RC
 
     _ring_margin = 1.15  # slack over the measured mirror row window
     _ring_window = 0     # host-measured window (rows); set in make_state
+    _ring_w = 0          # mirror window in chunks (vec ring)
 
     def _rebuild(self, state: MDState) -> MDState:
         if self.sort_atoms:
@@ -393,7 +417,10 @@ class MDEngine:
                 c_i = (jnp.arange(n, dtype=jnp.int32) // RC)[:, None]
                 c_j = (mir2d // K) // RC
                 d = jnp.mod(c_j - c_i, nb)
-                ring_bad = jnp.any(mask.reshape(n, K) & (d > 1) & (d != nb - 1))
+                Wr = max(1, self._ring_w)
+                ring_bad = jnp.any(
+                    mask.reshape(n, K) & (d > Wr) & (d < nb - Wr)
+                )
             edge_mir = mir2d.reshape(-1)
         # NPT can shrink the box: grid cells must stay >= cutoff+skin
         inv = jnp.linalg.inv(state.cell)
@@ -718,12 +745,12 @@ class MDEngine:
                 if self._ring_nb else self.spec.edge_chunk
             )
             if (
-                self.spec.conv_ring != bool(self._ring_nb)
+                self.spec.conv_ring != (self._ring_w if self._ring_nb else 0)
                 or self.spec.edge_chunk != edge_chunk
             ):
                 self.spec = dataclasses.replace(
                     self.spec,
-                    conv_ring=bool(self._ring_nb),
+                    conv_ring=self._ring_w if self._ring_nb else 0,
                     edge_chunk=edge_chunk,
                 )
         pos = np.asarray(state.positions)[:n_real]

@@ -154,7 +154,7 @@ class ModelSpec:
     # requires cell-sorted atoms whose mirrors stay within one row chunk
     # (the MD engine enforces this at every rebuild); replaces the chunked
     # path's dx scatter-add with the mirror gather at any system size
-    conv_ring: bool = False
+    conv_ring: int = 0  # ring-backward mirror window W in chunks; 0 = off
     # compute dtype for the convolution interior (gather, radial MLP, TP);
     # accumulation and all other layers stay float32
     conv_dtype: str = "float32"
@@ -405,7 +405,7 @@ def build_model_spec(config: Dict[str, Any]) -> ModelSpec:
         edge_chunk=int(cfg.get("_edge_chunk", 0)),
         edge_dense_k=int(cfg.get("_edge_dense_k", 0)),
         conv_custom_vjp=bool(cfg.get("_conv_custom_vjp", False)),
-        conv_ring=bool(cfg.get("_conv_ring", False)),
+        conv_ring=int(cfg.get("_conv_ring", 0) or 0),
         conv_dtype=str(cfg.get("_conv_dtype", "float32")),
     )
 

@@ -1840,16 +1840,22 @@ _fused_conv_ring.defvjp(_fused_conv_ring_fwd, _fused_conv_ring_bwd)
 
 # ---------------------------------------------------------------------------
 # vec-mode ring mirror backward (round 4): the ring/halo accumulation above
-# combined with the in-kernel edge embedding. This is the production path
-# for 100k+-atom MD: the scatter-add per-chunk dx accumulation (the 50k+
-# cost cliff) is replaced by the contiguous 3-chunk mirror gather, and the
-# (N*K, n_basis)/(N*K, dim_f) HBM arrays never exist. Same window contract
-# as `_fused_conv_ring` (cell-sorted atoms, mirrors within one row chunk).
+# combined with the in-kernel edge embedding, generalized to a W-chunk
+# mirror window. This replaces the scatter-add per-chunk dx accumulation
+# (the 100k trace's #1 cost: 145 ms/layer/step of colliding scatters at
+# ~25% efficiency) with a contiguous (2W+1)-chunk mirror GATHER: each
+# iteration reads its own dxg exactly once per hit (misses index row 0 —
+# cache-resident), accumulating into a halo-extended dx. W =
+# ceil(mirror_window_rows / RC); the cell-interleaved sort bounds the
+# window (~1.3 x-layers), and the engine re-checks the contract at every
+# rebuild (ring_overflow -> grow). The r3 1-chunk ring lost at 100k only
+# because the window forced RC up to 9.1k rows (3x dxg reads of huge
+# chunks); decoupling W from RC keeps chunks edge_chunk-sized.
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
-def _fused_conv_ring_v(conv, mlp_spec, A, param_grads, embed, RC, mlp_ws,
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _fused_conv_ring_v(conv, mlp_spec, A, param_grads, embed, RC, W, mlp_ws,
                        coef, x, vec_rows, src_nk, mir_nk):
     N, K = src_nk.shape
     fwd, _, _ = _get_kernels(conv, mlp_spec, A, K, param_grads, embed=embed)
@@ -1870,15 +1876,15 @@ def _fused_conv_ring_v(conv, mlp_spec, A, param_grads, embed, RC, mlp_ws,
     return outs.reshape(N, -1)
 
 
-def _fused_conv_ring_v_fwd(conv, mlp_spec, A, param_grads, embed, RC, mlp_ws,
-                           coef, x, vec_rows, src_nk, mir_nk):
-    out = _fused_conv_ring_v(conv, mlp_spec, A, param_grads, embed, RC,
+def _fused_conv_ring_v_fwd(conv, mlp_spec, A, param_grads, embed, RC, W,
+                           mlp_ws, coef, x, vec_rows, src_nk, mir_nk):
+    out = _fused_conv_ring_v(conv, mlp_spec, A, param_grads, embed, RC, W,
                              mlp_ws, coef, x, vec_rows, src_nk, mir_nk)
     return out, (mlp_ws, coef, x, vec_rows, src_nk, mir_nk)
 
 
-def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, res,
-                           ybar):
+def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, W,
+                           res, ybar):
     mlp_ws, coef, x, vec_rows, src_nk, mir_nk = res
     N, K = src_nk.shape
     dim_x = conv.irreps_x.dim
@@ -1886,12 +1892,16 @@ def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, res,
                                embed=embed)
     nb = N // RC
     RCK = RC * K
-    assert nb >= 3, "ring backward needs at least 3 row chunks"
+    span = 2 * W + 1
+    assert nb >= span, (
+        f"ring backward needs >= 2W+1 = {span} row chunks (have {nb})"
+    )
 
-    def slc(a, start, span=1):
-        return jax.lax.dynamic_slice_in_dim(a, start, span * RC, 0)
+    def slc(a, start, chunks=1):
+        return jax.lax.dynamic_slice_in_dim(a, start, chunks * RC, 0)
 
-    mir_ext = jnp.concatenate([mir_nk[N - RC:], mir_nk, mir_nk[:RC]], 0)
+    H = W * RC  # halo rows on each side
+    mir_ext = jnp.concatenate([mir_nk[N - H:], mir_nk, mir_nk[:H]], 0)
 
     def iteration(carry, i):
         dmlp, dcoef, dx_ext, dvec = carry
@@ -1913,10 +1923,10 @@ def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, res,
         dvec = jax.lax.dynamic_update_slice_in_dim(
             dvec, from_k_major_rows(dvec_b, A_b, K), start * K, 1
         )
-        # mirror rows of chunks (i-1, i, i+1) — the only rows whose mirrors
+        # mirror rows of chunks (i-W .. i+W) — the only rows whose mirrors
         # can point into chunk i (window contract); gather straight from
         # the K-MAJOR dxg (bf16 when SEVENNET_TPU_DXG_BF16 — half traffic)
-        m3 = slc(mir_ext, start, 3)                     # (3RC, K)
+        m3 = slc(mir_ext, start, span)                  # (span*RC, K)
         q = m3 // RCK
         sel = q == i
         o = jnp.where(sel, m3 - i * RCK, 0)
@@ -1930,10 +1940,10 @@ def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, res,
             sel[..., None],
             dxg_km[km.reshape(-1)]
             .astype(jnp.float32)
-            .reshape(3 * RC, K, dim_x),
+            .reshape(span * RC, K, dim_x),
             0.0,
-        ).sum(axis=1)                                   # (3RC, dim_x)
-        cur = slc(dx_ext, start, 3)
+        ).sum(axis=1)                                   # (span*RC, dim_x)
+        cur = slc(dx_ext, start, span)
         dx_ext = jax.lax.dynamic_update_slice_in_dim(
             dx_ext, cur + contrib, start, 0
         )
@@ -1941,16 +1951,16 @@ def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, res,
 
     dmlp0 = tuple(jnp.zeros_like(w) for w in mlp_ws)
     dcoef0 = jnp.zeros_like(coef)
-    dx_ext0 = jnp.zeros((N + 2 * RC, dim_x), jnp.float32)
+    dx_ext0 = jnp.zeros((N + 2 * H, dim_x), jnp.float32)
     dvec0 = jnp.zeros((3, N * K), jnp.float32)
     (dmlp, dcoef, dx_ext, dvec), _ = jax.lax.scan(
         iteration, (dmlp0, dcoef0, dx_ext0, dvec0),
         jnp.arange(nb, dtype=jnp.int32),
     )
-    # fold the wrapped halo spans back onto chunks nb-1 and 0
-    dx = dx_ext[RC : RC + N]
-    dx = dx.at[N - RC :].add(dx_ext[:RC])
-    dx = dx.at[:RC].add(dx_ext[N + RC :])
+    # fold the wrapped halo spans back onto the head/tail H rows
+    dx = dx_ext[H : H + N]
+    dx = dx.at[N - H :].add(dx_ext[:H])
+    dx = dx.at[:H].add(dx_ext[N + H :])
     dmlp = tuple(g.astype(w.dtype) for g, w in zip(dmlp, mlp_ws))
     return (
         dmlp,
@@ -2047,7 +2057,7 @@ def fused_conv_apply_vec(
     block_atoms: int = 0,
     param_grads: bool = True,
     row_chunk: int = 0,
-    ring: bool = False,
+    ring: int = 0,
 ):
     """Vec-mode fused Pallas conv: the Bessel basis, cutoff envelope and
     spherical harmonics are computed in-kernel from the raw edge vectors
@@ -2062,13 +2072,14 @@ def fused_conv_apply_vec(
     assert n % A == 0, (n, A)
     ws = tuple(mlp_params["w"]) if isinstance(mlp_params, dict) else tuple(mlp_params)
     if ring and row_chunk and row_chunk < n:
+        W = int(ring)  # mirror window in chunks (True -> 1)
         RC = (row_chunk // A) * A
-        assert RC > 0 and n % RC == 0 and n // RC >= 3, (
+        assert RC > 0 and n % RC == 0 and n // RC >= 2 * W + 1, (
             f"ring backward needs row_chunk ({RC}) to divide the atom "
-            f"capacity ({n}) into >= 3 chunks"
+            f"capacity ({n}) into >= 2W+1 = {2 * W + 1} chunks"
         )
         return _fused_conv_ring_v(
-            conv, mlp_spec, A, bool(param_grads), embed, RC, ws,
+            conv, mlp_spec, A, bool(param_grads), embed, RC, W, ws,
             bessel_coef, x, vec_rows, src_nk, mir_nk,
         )
     if row_chunk and row_chunk < n:

@@ -380,15 +380,20 @@ def _chain_vec_setup(N=48, K=8, seed=0):
     return conv, mlp, embed, mlp_p, coef, x, vec_rows, jnp.asarray(src), mir
 
 
-@pytest.mark.parametrize("param_grads", [False, True])
-def test_fused_vec_ring_matches_unchunked(param_grads):
+@pytest.mark.parametrize("param_grads,W,RC", [
+    (False, 1, 16),
+    (True, 1, 16),
+    # W=2 window: wider gather span + two-chunk wrap folds must stay exact
+    (False, 2, 8),
+    (True, 2, 8),
+])
+def test_fused_vec_ring_matches_unchunked(param_grads, W, RC):
     """Vec-mode ring mirror backward (round 4 — the production 100k path:
     in-kernel edge embedding + halo-accumulated dx) == the unchunked
     vec-mode mirror path, incl. the periodic wrap chunks."""
     from sevennet_tpu.ops.fused_conv import fused_conv_apply_vec
 
     conv, mlp, embed, mlp_p, coef, x, vec_rows, src, mir = _chain_vec_setup()
-    RC = 16
     cot = jax.random.normal(jax.random.PRNGKey(9),
                             (x.shape[0], conv.irreps_mid.dim)) * 0.1
 
@@ -404,7 +409,7 @@ def test_fused_vec_ring_matches_unchunked(param_grads):
         mlp_p, coef, x, vec_rows, 0, False)
     (l2, o2), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
                                       has_aux=True)(
-        mlp_p, coef, x, vec_rows, RC, True)
+        mlp_p, coef, x, vec_rows, RC, W)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                atol=1e-5, rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(g1),
