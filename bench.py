@@ -133,6 +133,14 @@ def flagship_spec(n_atoms: int, edge_chunk=None, remat=None):
     )
 
 
+def _stamp(msg):
+    print(f"# [t={time.perf_counter() - T_START:8.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+T_START = time.perf_counter()
+
+
 def run_size(n_atoms: int, n_steps: int, chunk: int):
     """One timed NVE run; returns the per-size result dict."""
     n_mol = n_atoms // 3
@@ -148,13 +156,13 @@ def run_size(n_atoms: int, n_steps: int, chunk: int):
         # a partial tail chunk would compile a SECOND scan inside the
         # timed loop and corrupt the measurement
         n_steps = max(chunk, (n_steps // chunk) * chunk)
-    print(f"# [{n}] building state...", file=sys.stderr, flush=True)
+    _stamp(f"[{n}] building state...")
     state = engine.make_state(pos, Z, temperature=300.0)
-    print(f"# [{n}] compiling+warmup...", file=sys.stderr, flush=True)
+    _stamp(f"[{n}] compiling+warmup...")
     # warmup with the SAME chunk length as the timed run: one scan compile
     state, _ = engine.run(state, chunk, dt=BENCH_DT, integrator="nve", chunk=chunk)
     float(state.potential_energy)  # force completion through the tunnel
-    print(f"# [{n}] timing {n_steps} steps...", file=sys.stderr, flush=True)
+    _stamp(f"[{n}] timing {n_steps} steps...")
 
     t0 = time.perf_counter()
     state, _ = engine.run(state, n_steps, dt=BENCH_DT, integrator="nve", chunk=chunk)
@@ -173,8 +181,64 @@ def run_size(n_atoms: int, n_steps: int, chunk: int):
         "baseline_ns_day": round(base_ns_day, 4),
         "vs_baseline": round(atom_steps / BASELINE_ATOM_STEPS_PER_S, 4),
     }
-    print(f"# [{n}] {res}", file=sys.stderr, flush=True)
+    _stamp(f"[{n}] {res}")
     return res, (spec, params, cell, pos, Z, engine)
+
+
+def emit(results, guards, planned_sizes):
+    """Print the cumulative headline JSON line (stdout).
+
+    Called after EVERY completed size and guard, not just at the end: the
+    driver runs this script under a wall-clock budget and parses the LAST
+    JSON line it sees, so a timeout mid-100k must still leave the sizes
+    that DID finish on record (round-4 lesson: one slow compile erased
+    the whole round's metric).
+    """
+    if not results:
+        return
+    headline = min(results, key=lambda r: r["vs_baseline"])
+    label = "+".join(str(r["n_atoms"]) for r in results)
+    print(
+        json.dumps(
+            {
+                "metric": f"sevennet0_water_nve_md_{label}atoms",
+                "value": headline["ns_day"],
+                "unit": "ns/day",
+                # conservative: the WORST per-atom ratio across the
+                # BASELINE target sizes, against one self-consistent
+                # per-atom A100 estimate (1.2e5 atom-steps/s)
+                "vs_baseline": headline["vs_baseline"],
+                "extra": {
+                    "sizes": results,
+                    "planned_sizes": planned_sizes,
+                    "baseline_atom_steps_per_s": BASELINE_ATOM_STEPS_PER_S,
+                    "device": str(jax.devices()[0].platform),
+                    "force_maxdiff_vs_fp32": guards.get("3k"),
+                    "force_maxdiff_vs_fp32_chunked_20k": guards.get("20k"),
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+def force_guard(n_molecules: int, ref_kwargs=None):
+    """Max |F_fast - F_ref| between the timed path and the fp32 XLA path."""
+    posc, Zc, cellc = water_box(n_molecules)
+    specc = flagship_spec(len(Zc))
+    paramsc = model_init(jax.random.PRNGKey(0), specc)
+    fast = MDEngine(
+        specc, paramsc, cellc,
+        matmul_precision=os.environ.get("BENCH_PRECISION", "default"),
+    )
+    if not fast.fused:
+        return None
+    spec_ref = flagship_spec(len(Zc), **(ref_kwargs or {}))
+    ref = MDEngine(spec_ref, paramsc, cellc, fused=False,
+                   matmul_precision="highest")
+    fr = np.asarray(ref.make_state(posc, Zc).forces)[: len(Zc)]
+    ff = np.asarray(fast.make_state(posc, Zc).forces)[: len(Zc)]
+    return float(np.abs(fr - ff).max())
 
 
 def main():
@@ -199,87 +263,40 @@ def main():
         ch = int(os.environ.get("BENCH_CHUNK", max(1, st // 3)))
         plan = {n: (st, ch) for n in sizes}
 
+    # cheapest-first: small sizes land a parseable result early; the
+    # expensive 100k compile goes LAST so it can only add, never erase
+    sizes = sorted(sizes)
     results = []
-    check_handle = None
+    guards = {}
+    emitted_guards = False
     for n in sizes:
         st, ch = plan[n]
-        res, handle = run_size(n, st, ch)
+        try:
+            res, _ = run_size(n, st, ch)
+        except Exception as e:  # one failing size must not erase the rest
+            _stamp(f"[{n}] FAILED: {type(e).__name__}: {e}")
+            continue
         results.append(res)
-        if check_handle is None and res["n_atoms"] <= 12000:
-            check_handle = handle
+        emit(results, guards, sizes)
 
-    # accuracy guard: the timed path (fused kernels on TPU) must match the
-    # fp32-exact XLA dense path on a 3k system (the full budget of the
-    # speed settings: in-kernel dots are always HIGHEST, surrounding
-    # linears/gates run at BENCH_PRECISION)
-    force_check = None
-    if not int(os.environ.get("BENCH_NO_CHECK", 0)):
-        print("# force check vs fp32 XLA path (3k)...", file=sys.stderr, flush=True)
-        posc, Zc, cellc = water_box(1000)
-        specc = flagship_spec(len(Zc))
-        paramsc = model_init(jax.random.PRNGKey(0), specc)
-        fast = MDEngine(
-            specc, paramsc, cellc,
-            matmul_precision=os.environ.get("BENCH_PRECISION", "default"),
-        )
-        if fast.fused:
-            ref = MDEngine(specc, paramsc, cellc, fused=False,
-                           matmul_precision="highest")
-            fr = np.asarray(ref.make_state(posc, Zc).forces)[: len(Zc)]
-            ff = np.asarray(fast.make_state(posc, Zc).forces)[: len(Zc)]
-            force_check = float(np.abs(fr - ff).max())
-            print(f"# force maxdiff: {force_check:.2e}", file=sys.stderr,
-                  flush=True)
-
-    # accuracy guard #2 (chunked/ring regime): the row-chunked fused path
-    # (edge_chunk streaming, halo-accumulated mirror backward) only engages
-    # above ~12k atoms, so the 3k check cannot see it. Gate it at 20k vs
-    # the fp32 XLA dense path (rematerialized — one single point, untimed).
-    chunked_check = None
-    if not int(os.environ.get("BENCH_NO_CHECK", 0)) and any(
-        r["n_atoms"] > 12000 for r in results
-    ):
-        print("# force check vs fp32 XLA path (20k, chunked regime)...",
-              file=sys.stderr, flush=True)
-        posc, Zc, cellc = water_box(6667)
-        specc = flagship_spec(len(Zc))
-        paramsc = model_init(jax.random.PRNGKey(0), specc)
-        fast = MDEngine(
-            specc, paramsc, cellc,
-            matmul_precision=os.environ.get("BENCH_PRECISION", "default"),
-        )
-        if fast.fused:
-            spec_ref = flagship_spec(len(Zc), edge_chunk=0, remat=True)
-            ref = MDEngine(spec_ref, paramsc, cellc, fused=False,
-                           matmul_precision="highest")
-            fr = np.asarray(ref.make_state(posc, Zc).forces)[: len(Zc)]
-            ff = np.asarray(fast.make_state(posc, Zc).forces)[: len(Zc)]
-            chunked_check = float(np.abs(fr - ff).max())
-            print(f"# chunked force maxdiff: {chunked_check:.2e}",
-                  file=sys.stderr, flush=True)
-
-    headline = min(results, key=lambda r: r["vs_baseline"])
-    label = "+".join(str(r["n_atoms"]) for r in results)
-    print(
-        json.dumps(
-            {
-                "metric": f"sevennet0_water_nve_md_{label}atoms",
-                "value": headline["ns_day"],
-                "unit": "ns/day",
-                # conservative: the WORST per-atom ratio across the
-                # BASELINE target sizes, against one self-consistent
-                # per-atom A100 estimate (1.2e5 atom-steps/s)
-                "vs_baseline": headline["vs_baseline"],
-                "extra": {
-                    "sizes": results,
-                    "baseline_atom_steps_per_s": BASELINE_ATOM_STEPS_PER_S,
-                    "device": str(jax.devices()[0].platform),
-                    "force_maxdiff_vs_fp32": force_check,
-                    "force_maxdiff_vs_fp32_chunked_20k": chunked_check,
-                },
-            }
-        )
-    )
+        # accuracy guards run right after the FIRST completed size — before
+        # the big-system compiles, so a 100k timeout cannot skip them.
+        # Guard 1 (3k): fused kernels vs the fp32-exact XLA dense path.
+        # Guard 2 (20k): the row-chunked/ring regime (engages >12k atoms
+        # only, so the 3k check cannot see it) vs the rematerialized fp32
+        # XLA dense path.
+        if not emitted_guards and not int(os.environ.get("BENCH_NO_CHECK", 0)):
+            emitted_guards = True
+            _stamp("force check vs fp32 XLA path (3k)...")
+            guards["3k"] = force_guard(1000)
+            _stamp(f"force maxdiff: {guards['3k']}")
+            if any(s > 12000 for s in sizes):
+                _stamp("force check vs fp32 XLA path (20k, chunked regime)...")
+                guards["20k"] = force_guard(
+                    6667, ref_kwargs={"edge_chunk": 0, "remat": True})
+                _stamp(f"chunked force maxdiff: {guards['20k']}")
+            emit(results, guards, sizes)
+    emit(results, guards, sizes)
 
 
 if __name__ == "__main__":

@@ -93,18 +93,16 @@ def download_checkpoint(path: str, url: str, sha256: Optional[str] = None,
             if total and got != total:
                 raise IOError(
                     f"truncated download: {got} of {total} bytes")
-        if sha256 is not None:
-            import hashlib
-
-            h = hashlib.sha256()
-            with open(tmp, "rb") as f:
-                for block in iter(lambda: f.read(1 << 20), b""):
-                    h.update(block)
-            if h.hexdigest() != sha256:
-                raise IOError(
-                    f"sha256 mismatch for {url}: got {h.hexdigest()}, "
-                    f"expected {sha256}")
+        digest = _file_sha256(tmp)
+        if sha256 is not None and digest != sha256:
+            raise IOError(
+                f"sha256 mismatch for {url}: got {digest}, "
+                f"expected {sha256}")
         os.replace(tmp, path)
+        if sha256 is None:
+            # no pin known: record trust-on-first-use (see _record_sha256)
+            _record_sha256(osp.dirname(path) or ".", osp.basename(path),
+                           digest)
         return path
     except Exception:
         if osp.exists(tmp):
@@ -113,6 +111,74 @@ def download_checkpoint(path: str, url: str, sha256: Optional[str] = None,
             except OSError:
                 pass
         raise
+
+
+def _checksum_files() -> List[str]:
+    """Pinned-digest tables, highest priority first: an explicit env-pointed
+    file, per-cache-dir TOFU records, then the vendored table next to this
+    module."""
+    files = []
+    env = os.environ.get("SEVENN_TPU_CHECKSUMS")
+    if env:
+        files.append(env)
+    for d in _search_dirs():
+        files.append(osp.join(d, "checksums.json"))
+    files.append(osp.join(osp.dirname(__file__), "checksums.json"))
+    return files
+
+
+def _pinned_sha256(basename: str) -> Optional[str]:
+    import json
+
+    for f in _checksum_files():
+        if not osp.exists(f):
+            continue
+        try:
+            with open(f) as fh:
+                table = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if basename in table:
+            return str(table[basename])
+    return None
+
+
+def _record_sha256(cache_dir: str, basename: str, digest: str) -> None:
+    """Trust-on-first-use: persist the digest of a freshly downloaded
+    checkpoint so any later re-download of the same asset must match.
+
+    This image has no network egress, so the registry cannot vendor the
+    true digests of the GitHub release assets; TOFU pinning is the honest
+    fallback (a corrupted RE-download cannot silently replace a good one),
+    and deployments with egress can pin digests up front via
+    ``$SEVENN_TPU_CHECKSUMS`` or ``sevennet_tpu/io/checksums.json``.
+    """
+    import json
+
+    f = osp.join(cache_dir, "checksums.json")
+    table = {}
+    if osp.exists(f):
+        try:
+            with open(f) as fh:
+                table = json.load(fh)
+        except (OSError, ValueError):
+            table = {}
+    table[basename] = digest
+    tmp = f + ".tmp"
+    os.makedirs(cache_dir, exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(table, fh, indent=1, sort_keys=True)
+    os.replace(tmp, f)
+
+
+def _file_sha256(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()
 
 
 def _normalize(name: str) -> Optional[str]:
@@ -165,7 +231,9 @@ def resolve_checkpoint(name_or_path: str) -> str:
     if url is not None:
         dest = osp.join(_search_dirs()[0], base)
         try:
-            return download_checkpoint(dest, url, sha256=sha)
+            return download_checkpoint(
+                dest, url, sha256=sha if sha is not None
+                else _pinned_sha256(base))
         except Exception as e:  # no egress / bad link: fall through to msg
             dl_err = f" (download from {url} failed: {e})"
     else:

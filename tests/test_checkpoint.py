@@ -118,6 +118,62 @@ def test_pretrained_registry(tmp_path, monkeypatch):
     assert resolve_checkpoint(REFERENCE_CP) == REFERENCE_CP
 
 
+def test_download_checksum_verification(tmp_path):
+    """download_checkpoint verifies a pinned sha256 and cleans up on
+    mismatch; an unpinned download records a trust-on-first-use digest
+    (reference download path: sevenn/util.py:224-261)."""
+    import hashlib
+    import json
+
+    import pytest
+
+    from sevennet_tpu.io.registry import download_checkpoint
+
+    src = tmp_path / "asset.pth"
+    src.write_bytes(b"checkpoint-bytes")
+    url = "file://" + str(src)
+    good = hashlib.sha256(b"checkpoint-bytes").hexdigest()
+
+    cache = tmp_path / "cache"
+    dest = cache / "asset.pth"
+    # wrong pin: raises, no partial or final file left behind
+    with pytest.raises(IOError, match="sha256 mismatch"):
+        download_checkpoint(str(dest), url, sha256="0" * 64)
+    assert not dest.exists() and not (cache / "asset.pth.partial").exists()
+    # correct pin: succeeds
+    assert download_checkpoint(str(dest), url, sha256=good) == str(dest)
+    dest.unlink()
+    # unpinned: succeeds and records a TOFU digest in the cache dir
+    download_checkpoint(str(dest), url, sha256=None)
+    table = json.loads((cache / "checksums.json").read_text())
+    assert table["asset.pth"] == good
+
+
+def test_resolve_uses_pinned_checksum(tmp_path, monkeypatch):
+    """resolve_checkpoint consults the pinned-digest table for the
+    download it performs, so a corrupted asset cannot load."""
+    import pytest
+
+    import sevennet_tpu.io.registry as registry
+
+    src = tmp_path / "checkpoint_fake.pth"
+    src.write_bytes(b"payload")
+    monkeypatch.setenv("SEVENN_TPU_CHECKPOINT_DIR", str(tmp_path / "cache"))
+    pins = tmp_path / "pins.json"
+    pins.write_text('{"checkpoint_fake.pth": "%s"}' % ("0" * 64))
+    monkeypatch.setenv("SEVENN_TPU_CHECKSUMS", str(pins))
+    monkeypatch.setitem(
+        registry._REGISTRY, "sevennet-fake",
+        registry._Entry("checkpoint_fake.pth", "file://" + str(src)))
+    with pytest.raises(FileNotFoundError, match="sha256 mismatch"):
+        registry.resolve_checkpoint("sevennet-fake")
+    # pin the real digest: download succeeds
+    pins.write_text(
+        '{"checkpoint_fake.pth": "%s"}' % registry._file_sha256(str(src)))
+    p = registry.resolve_checkpoint("sevennet-fake")
+    assert p.endswith("checkpoint_fake.pth")
+
+
 def test_legacy_name_and_config_patches():
     """Pre-2024 checkpoints: space-named modules, 'denumerator', dropped
     keys (reference scripts/backward_compatibility.py)."""
