@@ -26,7 +26,15 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sevennet_tpu_jax_cache")
+# persist the compilation cache UNDER THE REPO: /tmp may be wiped between
+# the build session and the driver's end-of-round bench run, and the 100k
+# compile is minutes-long (round-4 lesson: it blew the driver's budget).
+# Pre-warming bench.py during the round makes the driver's run hit cache.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import numpy as np
