@@ -230,23 +230,35 @@ def emit(results, guards, planned_sizes):
     )
 
 
-def force_guard(n_molecules: int, ref_kwargs=None):
-    """Max |F_fast - F_ref| between the timed path and the fp32 XLA path."""
-    posc, Zc, cellc = water_box(n_molecules)
-    specc = flagship_spec(len(Zc))
-    paramsc = model_init(jax.random.PRNGKey(0), specc)
-    fast = MDEngine(
-        specc, paramsc, cellc,
-        matmul_precision=os.environ.get("BENCH_PRECISION", "default"),
-    )
-    if not fast.fused:
-        return None
-    spec_ref = flagship_spec(len(Zc), **(ref_kwargs or {}))
-    ref = MDEngine(spec_ref, paramsc, cellc, fused=False,
-                   matmul_precision="highest")
-    fr = np.asarray(ref.make_state(posc, Zc).forces)[: len(Zc)]
-    ff = np.asarray(fast.make_state(posc, Zc).forces)[: len(Zc)]
-    return float(np.abs(fr - ff).max())
+def force_guard(n_molecules: int, ref_kwargs=None, ref_fused=False):
+    """Max |F_fast - F_ref| between the timed path and a reference path.
+
+    ``ref_fused=False``: reference is the fp32 XLA dense path (HIGHEST
+    matmuls) — the exactness anchor, memory-feasible up to ~12k atoms on a
+    16 GB chip (at 20k it needs 24 GB even rematerialized — measured OOM,
+    round 5). ``ref_fused=True``: reference is the UNCHUNKED fused path
+    (in-kernel dots are always fp32-exact); use it above 12k where the
+    XLA reference cannot fit — its own correctness is pinned by the 3k
+    guard against fp32 XLA. Any failure returns the error string instead
+    of raising: a guard must never kill the remaining bench sizes."""
+    try:
+        posc, Zc, cellc = water_box(n_molecules)
+        specc = flagship_spec(len(Zc))
+        paramsc = model_init(jax.random.PRNGKey(0), specc)
+        fast = MDEngine(
+            specc, paramsc, cellc,
+            matmul_precision=os.environ.get("BENCH_PRECISION", "default"),
+        )
+        if not fast.fused:
+            return None
+        spec_ref = flagship_spec(len(Zc), **(ref_kwargs or {}))
+        ref = MDEngine(spec_ref, paramsc, cellc, fused=ref_fused,
+                       matmul_precision="highest")
+        fr = np.asarray(ref.make_state(posc, Zc).forces)[: len(Zc)]
+        ff = np.asarray(fast.make_state(posc, Zc).forces)[: len(Zc)]
+        return float(np.abs(fr - ff).max())
+    except Exception as e:
+        return f"{type(e).__name__}: {e}"[:300]
 
 
 def main():
@@ -299,9 +311,10 @@ def main():
             guards["3k"] = force_guard(1000)
             _stamp(f"force maxdiff: {guards['3k']}")
             if any(s > 12000 for s in sizes):
-                _stamp("force check vs fp32 XLA path (20k, chunked regime)...")
+                _stamp("force check vs unchunked fused (20k, ring/chunked "
+                       "regime; fp32 XLA ref OOMs at this size)...")
                 guards["20k"] = force_guard(
-                    6667, ref_kwargs={"edge_chunk": 0, "remat": True})
+                    6667, ref_kwargs={"edge_chunk": 0}, ref_fused=True)
                 _stamp(f"chunked force maxdiff: {guards['20k']}")
             emit(results, guards, sizes)
     emit(results, guards, sizes)
