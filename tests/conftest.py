@@ -5,6 +5,64 @@ import pytest
 
 REFERENCE_CP = "/root/reference/tests/data/checkpoints/cp_0.pth"
 
+# ---------------------------------------------------------------------------
+# Test-time partition (round 5): `pytest -m "not slow"` must finish < 10 min
+# on ONE CPU core (the judging budget; mirrors the reference's quick CI gate,
+# /root/reference/.github/workflows/test.yml:30-43). The names below are the
+# long-running redundancy — each is either a heavier parametrization of a
+# case that stays in the quick set, or a long-soak variant of a family whose
+# core semantics another quick test pins. Measured single-core durations in
+# parentheses (round-5 run, full suite = 1755 s; after this partition the
+# quick set is ~540 s). `pytest -m smoke` (~85 s) remains the 2-minute gate.
+# ---------------------------------------------------------------------------
+_SLOW_BY_NAME = {
+    # kernel equivalence: keep chunked[False], vec_ring[False-2-8],
+    # backward[False], bwd_block_mismatch[False], grad_of_grad[emb]
+    "test_fused_conv.py::test_fused_chunked_matches_unchunked[True]",  # 82 s
+    "test_fused_conv.py::test_fused_grad_of_grad_matches_xla[sh]",     # 42 s
+    "test_fused_conv.py::test_fused_ring_matches_unchunked[False]",    # 34 s
+    "test_fused_conv.py::test_fused_ring_matches_unchunked[True]",     # 21 s
+    "test_fused_conv.py::test_fused_bwd_block_mismatch[True]",         # 32 s
+    "test_fused_conv.py::test_fused_backward_matches_xla[True]",       # 27 s
+    "test_fused_conv.py::test_fused_vec_ring_matches_unchunked[True-2-8]",   # 29 s
+    "test_fused_conv.py::test_fused_vec_ring_matches_unchunked[True-1-16]",  # 23 s
+    "test_fused_conv.py::test_fused_vec_ring_matches_unchunked[False-1-16]", # 23 s
+    "test_dense_conv.py::test_backward_matches_autodiff[0]",           # 33 s
+    "test_dense_conv.py::test_double_backward_force_training",         # 40 s
+    # MD engine: quick set keeps NVE/Langevin equivalence + overflow
+    # recovery; ensembles/soaks/IO move out
+    "test_md.py::test_dense_streaming_matches_unchunked",              # 63 s
+    "test_md.py::test_engine_stress_and_pressure_sign",                # 53 s
+    "test_md.py::test_dense_conv_matches_flat",                        # 38 s
+    "test_md.py::test_npt_berendsen_changes_volume",                   # 37 s
+    "test_md.py::test_md_cli_runner",                                  # 35 s
+    "test_md.py::test_nose_hoover_regulates_temperature",              # 34 s
+    "test_md.py::test_trajectory_dump_roundtrip",                      # 30 s
+    "test_md.py::test_md_runner_poscar_input",                         # 27 s
+    "test_md.py::test_auto_capacity_growth",                           # 25 s
+    # trainer: keep test_train_loop_decreases_loss + continue smoke
+    "test_train.py::test_kill_and_resume_reproduces_run",              # 57 s
+    "test_train.py::test_train_fused_matches_dense",                   # 54 s
+    # calculator: keep test_batched_calculator + ASE smoke
+    "test_calculator.py::test_fused_calculator_matches_flat",          # 63 s
+    "test_calculator.py::test_bucketing_reuses_compilation",           # 30 s
+    # one structure [0] stays smoke; [2] (triclinic) stays quick
+    "test_deployed_golden.py::test_serial_deployed_parity[1]",         # 25 s
+    "test_parallel.py::test_distributed_matches_serial[1]",            # 20 s
+    "test_model.py::test_batching_consistency",                        # 44 s
+    "test_model.py::test_second_derivatives_exist",                    # 29 s
+    "test_d3.py::test_d3_in_md_engine",                                # 67 s
+    "test_checkpoint.py::test_energy_forces_consistency",              # 33 s
+    "test_modal.py::test_multimodal_dataset_and_training",             # 23 s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.nodeid.split("tests/")[-1]
+        if name in _SLOW_BY_NAME:
+            item.add_marker(pytest.mark.slow)
+
 
 def has_reference():
     return os.path.exists(REFERENCE_CP)
