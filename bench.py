@@ -21,10 +21,16 @@ BENCH_ATOMS for ad-hoc runs), BENCH_PRECISION, BENCH_CHUNK/BENCH_STEPS
 (per-run overrides), BENCH_NO_CHECK=1 to skip the 3k force-accuracy guard.
 """
 
+import faulthandler
 import json
 import os
+import signal
 import sys
 import time
+
+# kill -USR1 <pid> dumps all thread stacks to stderr (the axon tunnel
+# can block indefinitely inside device ops; this identifies where)
+faulthandler.register(signal.SIGUSR1)
 
 # persist the compilation cache UNDER THE REPO: /tmp may be wiped between
 # the build session and the driver's end-of-round bench run, and the 100k
@@ -165,7 +171,13 @@ def run_size(n_atoms: int, n_steps: int, chunk: int):
         # timed loop and corrupt the measurement
         n_steps = max(chunk, (n_steps // chunk) * chunk)
     _stamp(f"[{n}] building state...")
-    state = engine.make_state(pos, Z, temperature=300.0)
+    # compute_forces=False skips the standalone fwd+bwd compile (minutes
+    # at 100k); the warmup chunk below compiles/provides everything timed
+    state = engine.make_state(pos, Z, temperature=300.0, compute_forces=False)
+    _stamp(
+        f"[{n}] K={engine.k_model} ring: RC={engine.row_chunk} "
+        f"nb={engine._ring_nb} W={engine._ring_w} sort={engine.sort_atoms}"
+    )
     _stamp(f"[{n}] compiling+warmup...")
     # warmup with the SAME chunk length as the timed run: one scan compile
     state, _ = engine.run(state, chunk, dt=BENCH_DT, integrator="nve", chunk=chunk)
@@ -230,7 +242,8 @@ def emit(results, guards, planned_sizes):
     )
 
 
-def force_guard(n_molecules: int, ref_kwargs=None, ref_fused=False):
+def force_guard(n_molecules: int, ref_kwargs=None, ref_fused=False,
+                fast_env=None):
     """Max |F_fast - F_ref| between the timed path and a reference path.
 
     ``ref_fused=False``: reference is the fp32 XLA dense path (HIGHEST
@@ -241,7 +254,14 @@ def force_guard(n_molecules: int, ref_kwargs=None, ref_fused=False):
     XLA reference cannot fit — its own correctness is pinned by the 3k
     guard against fp32 XLA. Any failure returns the error string instead
     of raising: a guard must never kill the remaining bench sizes."""
+    saved = {}
     try:
+        # fast_env: temporary knobs for the FAST engine only (e.g. a
+        # lowered chunk threshold so the 20k guard exercises the same
+        # ring/sorted path the 100k timing uses)
+        for k, v in (fast_env or {}).items():
+            saved[k] = os.environ.get(k)
+            os.environ[k] = str(v)
         posc, Zc, cellc = water_box(n_molecules)
         specc = flagship_spec(len(Zc))
         paramsc = model_init(jax.random.PRNGKey(0), specc)
@@ -251,14 +271,30 @@ def force_guard(n_molecules: int, ref_kwargs=None, ref_fused=False):
         )
         if not fast.fused:
             return None
+        stf = fast.make_state(posc, Zc)
+        ff = np.asarray(stf.forces)
+        if stf.atom_index is not None:
+            # cell-sorted engines permute atoms; map back to input order
+            unperm = np.empty((len(Zc), 3), ff.dtype)
+            idx = np.asarray(stf.atom_index)
+            ok = idx < len(Zc)  # padded rows carry indices >= n
+            unperm[idx[ok]] = ff[ok]
+            ff = unperm
+        else:
+            ff = ff[: len(Zc)]
+        for k, v in saved.items():
+            os.environ.pop(k, None) if v is None else os.environ.update({k: v})
+        saved = {}
         spec_ref = flagship_spec(len(Zc), **(ref_kwargs or {}))
         ref = MDEngine(spec_ref, paramsc, cellc, fused=ref_fused,
                        matmul_precision="highest")
         fr = np.asarray(ref.make_state(posc, Zc).forces)[: len(Zc)]
-        ff = np.asarray(fast.make_state(posc, Zc).forces)[: len(Zc)]
         return float(np.abs(fr - ff).max())
     except Exception as e:
         return f"{type(e).__name__}: {e}"[:300]
+    finally:
+        for k, v in saved.items():
+            os.environ.pop(k, None) if v is None else os.environ.update({k: v})
 
 
 def main():
@@ -313,8 +349,12 @@ def main():
             if any(s > 12000 for s in sizes):
                 _stamp("force check vs unchunked fused (20k, ring/chunked "
                        "regime; fp32 XLA ref OOMs at this size)...")
+                # the threshold override engages the SAME sorted ring
+                # path the 100k timing uses (it would otherwise only
+                # engage above ~30k atoms and escape the guard)
                 guards["20k"] = force_guard(
-                    6667, ref_kwargs={"edge_chunk": 0}, ref_fused=True)
+                    6667, ref_kwargs={"edge_chunk": 0}, ref_fused=True,
+                    fast_env={"SEVENNET_TPU_CHUNK_THRESHOLD": 1_000_000_000})
                 _stamp(f"chunked force maxdiff: {guards['20k']}")
             emit(results, guards, sizes)
     emit(results, guards, sizes)

@@ -139,7 +139,14 @@ class MDEngine:
         atomic_numbers,
         temperature: Optional[float] = None,
         seed: int = 0,
+        compute_forces: bool = True,
     ) -> MDState:
+        """``compute_forces=False`` skips the initial force/energy
+        evaluation (and its full fwd+bwd jit compile — minutes at 100k
+        atoms on the remote-compile tunnel). The returned state carries
+        zero forces: the first velocity half-kick of the first ``run``
+        step is then a no-op, which benchmarks don't care about; physics
+        runs should keep the default."""
         import dataclasses
 
         n = len(positions)
@@ -251,11 +258,51 @@ class MDEngine:
             d3_edges_cap = self.d3_cl_spec.edge_capacity(n_atoms_cap)
         species = self.spec.z_to_type[np.asarray(atomic_numbers)]
         assert (species >= 0).all(), "unknown species for this model"
+        import os as _os3
+
+        # host-side initial graph build (round 5): the standalone
+        # jit(_rebuild) at 100k atoms cost up to 20 min of remote compile
+        # on the axon tunnel — the single biggest setup cost. The first
+        # NL/slots/mirror build is exact in numpy (the same cell-list data
+        # the capacity estimates above already computed); the DEVICE
+        # rebuild still compiles with the run() scan for in-flight
+        # rebuilds. Dense/fused engines only; env-gated for A/B.
+        host_build = (
+            self.dense
+            and self.fused
+            and bool(int(_os3.environ.get("SEVENNET_TPU_HOST_BUILD", 1)))
+        )
+        host_edges = None
+        pos_in = np.asarray(positions, np.float64)
+        Z_in = np.asarray(atomic_numbers)
+        if host_build:
+            # wrap into the box and (optionally) cell-sort host-side,
+            # exactly as the device _rebuild/_sort_state would
+            inv = np.linalg.inv(self.cell)
+            frac = (pos_in @ inv) % 1.0
+            pos_w = frac @ self.cell
+            if self.sort_atoms:
+                perm = self._host_sort_perm(pos_w)
+                pos_w = pos_w[perm]
+                species = species[perm]
+                Z_in = Z_in[perm]
+            else:
+                perm = np.arange(len(pos_w))
+            host_edges = self._host_initial_edges(pos_w, n_atoms_cap)
+            if host_edges is None:
+                # ring contract violated or capacity undershoot: fall
+                # back to the device rebuild path below
+                host_build = False
+                pos_w = pos_in
+                species = self.spec.z_to_type[np.asarray(atomic_numbers)]
+                Z_in = np.asarray(atomic_numbers)
+            else:
+                pos_in = pos_w
         state = init_md_state(
-            positions,
+            pos_in,
             species,
             self.cell,
-            atomic_numbers=atomic_numbers,
+            atomic_numbers=Z_in,
             temperature=temperature,
             seed=seed,
             n_atoms_cap=n_atoms_cap,
@@ -267,11 +314,70 @@ class MDEngine:
             with_mirror=self.fused,
             d3_edges_cap=d3_edges_cap,
         )
+        if host_build:
+            # minimize put bytes through the tunnel (the transfer, not
+            # the numpy work, dominates at 100k): dst is the owner map
+            # (computed on device), integer shifts ship as int8 and
+            # widen device-side
+            K_put = self.k_model
+            upd = dict(
+                nl_positions=state.positions,
+                edge_src=jnp.asarray(host_edges["src"]),
+                edge_dst=(
+                    jnp.arange(n_atoms_cap * K_put, dtype=jnp.int32) // K_put
+                ),
+                edge_shift=jnp.asarray(
+                    host_edges["shift"].astype(np.int8)
+                ).astype(state.edge_shift.dtype),
+                edge_mask=jnp.asarray(host_edges["mask"]),
+                edge_mir=jnp.asarray(host_edges["mir"]),
+            )
+            if state.atom_index is not None:
+                upd["atom_index"] = jnp.asarray(
+                    np.concatenate([
+                        perm,
+                        np.arange(len(perm), state.n_atoms_cap),
+                    ]).astype(np.int32)
+                )
+            if self.d3_params is not None:
+                upd.update(
+                    d3_edge_src=jnp.asarray(host_edges["d3_src"]),
+                    d3_edge_dst=jnp.asarray(host_edges["d3_dst"]),
+                    d3_edge_shift=jnp.asarray(
+                        host_edges["d3_shift"].astype(np.int8)
+                    ).astype(state.edge_shift.dtype),
+                    d3_edge_mask=jnp.asarray(host_edges["d3_mask"]),
+                )
+            state = state.replace(**upd)
+            if "rebuild" not in self._run_cache:
+                self._run_cache["rebuild"] = jax.jit(self._rebuild)
+            if not compute_forces:
+                return state
+            forces, energy, stress = self._forces_jit(state)
+            return state.replace(
+                forces=forces, potential_energy=energy, stress=stress
+            )
         # jit the host-side rebuild too: eagerly it dispatches hundreds of
         # individual ops, each a fresh remote compile at new shapes on the
         # axon tunnel (minutes at 10k+ atoms)
         if "rebuild" not in self._run_cache:
             self._run_cache["rebuild"] = jax.jit(self._rebuild)
+        import os as _os2
+        import sys as _sys
+        import time as _time
+
+        verbose = bool(int(_os2.environ.get("SEVENNET_TPU_VERBOSE", 0)))
+
+        def _vlog(msg):
+            if verbose:
+                print(f"# [engine] {msg}", file=_sys.stderr, flush=True)
+
+        t0 = _time.perf_counter()
+        if verbose:
+            # a scalar fetch forces completion of the device puts (the
+            # axon tunnel does not honor block_until_ready)
+            float(state.positions[0, 0])
+            _vlog(f"state arrays on device t={_time.perf_counter() - t0:.1f}s")
         state = self._run_cache["rebuild"](state)
         # host-side estimates can undershoot (density spikes, ring window):
         # honor the overflow flags immediately instead of returning a state
@@ -282,11 +388,18 @@ class MDEngine:
                 state.ring_overflow is not None
                 and bool(state.ring_overflow)
             )
+            _vlog(
+                f"rebuild done t={_time.perf_counter() - t0:.1f}s "
+                f"nl_ofl={ofl_nl} ring_ofl={ofl_ring}"
+            )
             if not (ofl_nl or ofl_ring):
                 break
+            _vlog("growing capacities (recompile)...")
             state = self._grow_capacities(
                 state, ring_only=ofl_ring and not ofl_nl
             )
+        if not compute_forces:
+            return state
         forces, energy, stress = self._forces_jit(state)
         return state.replace(
             forces=forces, potential_energy=energy, stress=stress
@@ -313,6 +426,88 @@ class MDEngine:
         rank[np.argsort(cid, kind="stable")] = np.arange(n)
         d = np.abs(rank[dst] - rank[src])
         return int(np.minimum(d, n - d).max())
+
+    def _host_sort_perm(self, pos_w: np.ndarray) -> np.ndarray:
+        """Numpy twin of :meth:`_sort_state`'s interleaved cell-id order
+        (same cid formula; see there for the interleave rationale)."""
+        nx, ny, nz = self.cl_spec.n_cells
+        frac = (pos_w @ np.linalg.inv(self.cell)) % 1.0
+        grid = np.array([nx, ny, nz])
+        c = np.clip((frac * grid).astype(np.int64), 0, grid - 1)
+        iy = np.where(c[:, 1] * 2 < ny, 2 * c[:, 1], 2 * (ny - 1 - c[:, 1]) + 1)
+        iz = np.where(c[:, 2] * 2 < nz, 2 * c[:, 2], 2 * (nz - 1 - c[:, 2]) + 1)
+        cid = (c[:, 0] * ny + iy) * nz + iz
+        return np.argsort(cid, kind="stable")
+
+    def _host_initial_edges(self, pos_w: np.ndarray, n_cap: int):
+        """Exact numpy construction of the initial dense (N, K) slots,
+        mirror map and (optional) D3 edge list — the same data the device
+        ``_rebuild`` produces, without its minutes-long standalone remote
+        compile (round 5; the in-scan rebuild still compiles with the
+        ``run`` program). Returns None when a capacity or ring-window
+        assumption fails — the caller falls back to the device path."""
+        from ..data.graph import densify_edges
+        from ..data.neighborlist import neighbor_list_numpy
+        from ..ops.fused_conv import mirror_map_numpy
+
+        n = len(pos_w)
+        K = self.k_model
+        dst, src, sh = neighbor_list_numpy(
+            pos_w, self.spec.cutoff + self.skin, self.cell, (True,) * 3
+        )
+        vec = pos_w[src] + sh @ self.cell - pos_w[dst]
+        d2 = np.sum(vec * vec, axis=1)
+        order = np.lexsort((d2, dst))
+        dst, src, sh, d2 = dst[order], src[order], sh[order], d2[order]
+        counts = np.bincount(dst, minlength=n)
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slot = np.arange(len(dst)) - starts[dst]
+        keep = slot < K
+        if np.any(~keep & (d2 < self.spec.cutoff**2)):
+            return None  # K undershoot: a within-cutoff edge would drop
+        src_d, dst_d, shift_d, mask_d = densify_edges(
+            src[keep].astype(np.int32), dst[keep].astype(np.int32),
+            sh[keep].astype(np.float32), np.ones(int(keep.sum()), bool),
+            n_cap, K,
+        )
+        src_nk = src_d.reshape(n_cap, K)
+        mask_nk = mask_d.reshape(n_cap, K)
+        if self._ring_nb:
+            RC, nb, Wr = self.row_chunk, self._ring_nb, max(1, self._ring_w)
+            c_i = np.arange(n_cap)[:, None] // RC
+            c_j = src_nk // RC
+            d = np.mod(c_j - c_i, nb)
+            if np.any(mask_nk & (d > Wr) & (d < nb - Wr)):
+                return None  # ring window violated: device path grows it
+        mir = mirror_map_numpy(
+            src_nk, shift_d.reshape(n_cap, K, 3), mask_nk
+        ).reshape(-1)
+        out = dict(
+            src=src_d, dst=dst_d, shift=shift_d, mask=mask_d,
+            mir=mir.astype(np.int32),
+        )
+        if self.d3_params is not None:
+            cap3 = self.d3_cl_spec.edge_capacity(n_cap)
+            dst3, src3, sh3 = neighbor_list_numpy(
+                pos_w, self.d3_params.cutoff + self.skin, self.cell,
+                (True,) * 3,
+            )
+            ne3 = len(dst3)
+            if ne3 > cap3:
+                return None
+            pad3 = cap3 - ne3
+            out.update(
+                d3_src=np.concatenate(
+                    [src3, np.zeros(pad3, np.int64)]).astype(np.int32),
+                d3_dst=np.concatenate(
+                    [dst3, np.zeros(pad3, np.int64)]).astype(np.int32),
+                d3_shift=np.concatenate(
+                    [sh3, np.zeros((pad3, 3))]).astype(np.float32),
+                d3_mask=np.concatenate(
+                    [np.ones(ne3, bool), np.zeros(pad3, bool)]),
+            )
+        return out
 
     def _size_ring(self, n_cap: int, A: int) -> int:
         """Size the ring-buffer backward's row chunk (``fused_conv`` ring
@@ -367,13 +562,23 @@ class MDEngine:
             rc0 = max(self.spec.edge_chunk // self.k_model, A)
         else:
             rc0 = max(self.spec.edge_chunk // self.k_model, window, A)
-        nb = n_cap // rc0
-        if nb < 3:
+        nb0 = n_cap // rc0
+        if nb0 < 3:
             return n_cap  # too few chunks: fall back to scatter-add
-        RC = -(-(-(-n_cap // nb)) // A) * A  # ceil(n_cap/nb) to A multiple
-        W = max(1, -(-window // RC)) if vec else 1
-        if nb < 2 * W + 1:
+        # the rolling-buffer ring backward requires nb % (2W+1) == 0 (its
+        # chunk->buffer-slot map is span-periodic across the PBC wrap);
+        # search downward from the edge_chunk-sized nb for the first
+        # admissible chunk count — RC grows slightly, W can shrink with it
+        choice = None
+        for nb in range(nb0, 2, -1):
+            RC = -(-(-(-n_cap // nb)) // A) * A  # ceil to A multiple
+            W = max(1, -(-window // RC)) if vec else 1
+            if nb % (2 * W + 1) == 0:
+                choice = (nb, RC, W)
+                break
+        if choice is None:
             return n_cap  # window spans the whole box: scatter-add
+        nb, RC, W = choice
         self.row_chunk = RC
         self._ring_nb = nb
         self._ring_w = W

@@ -126,16 +126,16 @@ def init_md_state(
         [np.asarray(a), np.full((cap - len(a),) + np.shape(a)[1:], fill, np.asarray(a).dtype)]
     ) if cap > len(a) else np.asarray(a)
 
-    rng = jax.random.PRNGKey(seed)
     if velocities is None:
         if temperature is None:
             velocities = np.zeros((n, 3))
         else:
-            rng, k = jax.random.split(rng)
+            # host numpy PRNG: the jax.random draw ran on the default
+            # device, and fetching the (N, 3) result back through the
+            # axon tunnel blocked for minutes at 100k atoms (round 5)
+            rng_np = np.random.default_rng(seed)
             sigma = np.sqrt(KB_EV * temperature / masses) * np.sqrt(EV_A_AMU_TO_A_FS2)
-            velocities = np.asarray(
-                jax.random.normal(k, (n, 3)) * sigma[:, None]
-            )
+            velocities = rng_np.normal(size=(n, 3)) * sigma[:, None]
             # remove COM drift
             p = (masses[:, None] * velocities).sum(0)
             velocities = velocities - p / masses.sum()
@@ -150,7 +150,7 @@ def init_md_state(
         masses=jnp.asarray(pad(np.asarray(masses, np.float64), fill=1.0), dtype),
         cell=jnp.asarray(cell, dtype),
         atom_mask=jnp.asarray(mask),
-        rng=rng,
+        rng=jax.random.PRNGKey(seed),
         step=jnp.asarray(0, jnp.int32),
         nl_positions=jnp.asarray(pad(np.asarray(positions, np.float64)), dtype),
         edge_src=jnp.zeros(n_edges_cap, jnp.int32),

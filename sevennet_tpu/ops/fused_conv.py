@@ -1885,6 +1885,20 @@ def _fused_conv_ring_v_fwd(conv, mlp_spec, A, param_grads, embed, RC, W,
 
 def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, W,
                            res, ybar):
+    """Rolling-buffer mirror backward (round 5).
+
+    The r4 halo variant gathered a (2W+1)-chunk mirror span against EVERY
+    chunk's transient dxg with a hit mask — span x redundant gather
+    traffic (measured 9.2 s/step at 100k with W=3). Here a rolling HBM
+    buffer keeps the last 2W+1 dxg chunks live (slot = chunk % span,
+    consistent across the PBC wrap because nb % span == 0), and each
+    destination chunk gathers its K mirrors EXACTLY ONCE — the same
+    total gather traffic as the unchunked mirror path, with bounded
+    memory. Iteration i computes dxg for chunk (i+W) mod nb and emits dx
+    for chunk i (whose window i-W..i+W is then fully buffered); a 2W-
+    chunk prologue seeds the wrap slots (those chunks' dxg are
+    recomputed by the scan tail — ~2W/nb extra kernel cost — but their
+    dmlp/dvec accumulate only in the scan, exactly once)."""
     mlp_ws, coef, x, vec_rows, src_nk, mir_nk = res
     N, K = src_nk.shape
     dim_x = conv.irreps_x.dim
@@ -1893,25 +1907,39 @@ def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, W,
     nb = N // RC
     RCK = RC * K
     span = 2 * W + 1
-    assert nb >= span, (
-        f"ring backward needs >= 2W+1 = {span} row chunks (have {nb})"
+    assert nb >= span and nb % span == 0, (
+        f"ring backward needs the chunk count ({nb}) to be a multiple of "
+        f"2W+1 = {span}"
     )
 
-    def slc(a, start, chunks=1):
-        return jax.lax.dynamic_slice_in_dim(a, start, chunks * RC, 0)
+    def slc(a, start):
+        return jax.lax.dynamic_slice_in_dim(a, start, RC, 0)
 
-    H = W * RC  # halo rows on each side
-    mir_ext = jnp.concatenate([mir_nk[N - H:], mir_nk, mir_nk[:H]], 0)
+    def chunk_dxg(j):
+        """Run the backward kernel on chunk j; returns its raw outputs."""
+        start = j * RC
+        src_c = slc(src_nk, start)
+        xg = x[to_k_major(src_c, A_b)]
+        vec_c = jax.lax.dynamic_slice_in_dim(vec_rows, start * K, RCK, 1)
+        return bwd(xg, to_k_major_rows(vec_c, A_b, K), coef,
+                   slc(ybar, start), tuple(mlp_ws))
+
+    # prologue: seed the buffer with the 2W wrap chunks (nb-W..nb-1,
+    # 0..W-1) so iteration 0's full window is live. Gradient side
+    # outputs are discarded here — the scan recomputes these chunks.
+    pro = [(q, chunk_dxg(q)) for q in
+           [nb - W + d for d in range(W)] + list(range(W))]
+    buf = jnp.zeros((span * RCK, dim_x), pro[0][1][0].dtype)
+    for q, outs in pro:
+        buf = jax.lax.dynamic_update_slice_in_dim(
+            buf, outs[0], (q % span) * RCK, 0
+        )
 
     def iteration(carry, i):
-        dmlp, dcoef, dx_ext, dvec = carry
-        start = i * RC
-        src_c = slc(src_nk, start)
-        src_km = to_k_major(src_c, A_b)
-        xg = x[src_km]
-        vec_c = jax.lax.dynamic_slice_in_dim(vec_rows, start * K, RCK, 1)
-        outs = bwd(xg, to_k_major_rows(vec_c, A_b, K), coef,
-                   slc(ybar, start), tuple(mlp_ws))
+        dmlp, dcoef, dvec, buf = carry
+        # compute dxg for the LEADING chunk of window i
+        j = jnp.mod(i + W, nb)
+        outs = chunk_dxg(j)
         if param_grads:
             dxg_km, dvec_b, extras = outs
             dmlp = tuple(a + b for a, b in zip(dmlp, extras[:-1]))
@@ -1921,46 +1949,41 @@ def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, W,
         # dvec accumulates IN-PLACE in the carry: stacked ys would be
         # permuted+padded by XLA (42.7x expansion at 100k atoms)
         dvec = jax.lax.dynamic_update_slice_in_dim(
-            dvec, from_k_major_rows(dvec_b, A_b, K), start * K, 1
+            dvec, from_k_major_rows(dvec_b, A_b, K), j * RCK, 1
         )
-        # mirror rows of chunks (i-W .. i+W) — the only rows whose mirrors
-        # can point into chunk i (window contract); gather straight from
-        # the K-MAJOR dxg (bf16 when SEVENNET_TPU_DXG_BF16 — half traffic)
-        m3 = slc(mir_ext, start, span)                  # (span*RC, K)
-        q = m3 // RCK
-        sel = q == i
-        o = jnp.where(sel, m3 - i * RCK, 0)
+        buf = jax.lax.dynamic_update_slice_in_dim(
+            buf, dxg_km, jnp.mod(j, span) * RCK, 0
+        )
+        # emit dx for chunk i: every mirror of its rows lies in chunks
+        # i-W..i+W (ring contract, re-checked at each rebuild), all of
+        # which are live in the buffer — gather each dxg row once, no
+        # masks (bf16 rows when SEVENNET_TPU_DXG_BF16 — half traffic)
+        mir_c = slc(mir_nk, i * RC)                     # (RC, K) global
+        q_m = mir_c // RCK
+        o = mir_c - q_m * RCK
         r_loc = o // K
         kk = o - r_loc * K
         km = (
             (r_loc // A_b) * (K * A_b) + kk * A_b
             + r_loc - (r_loc // A_b) * A_b
         )
-        contrib = jnp.where(
-            sel[..., None],
-            dxg_km[km.reshape(-1)]
+        rows = jnp.mod(q_m, span) * RCK + km
+        contrib = (
+            buf[rows.reshape(-1)]
             .astype(jnp.float32)
-            .reshape(span * RC, K, dim_x),
-            0.0,
-        ).sum(axis=1)                                   # (span*RC, dim_x)
-        cur = slc(dx_ext, start, span)
-        dx_ext = jax.lax.dynamic_update_slice_in_dim(
-            dx_ext, cur + contrib, start, 0
+            .reshape(RC, K, dim_x)
+            .sum(axis=1)
         )
-        return (dmlp, dcoef, dx_ext, dvec), None
+        return (dmlp, dcoef, dvec, buf), contrib
 
     dmlp0 = tuple(jnp.zeros_like(w) for w in mlp_ws)
     dcoef0 = jnp.zeros_like(coef)
-    dx_ext0 = jnp.zeros((N + 2 * H, dim_x), jnp.float32)
     dvec0 = jnp.zeros((3, N * K), jnp.float32)
-    (dmlp, dcoef, dx_ext, dvec), _ = jax.lax.scan(
-        iteration, (dmlp0, dcoef0, dx_ext0, dvec0),
+    (dmlp, dcoef, dvec, _), dx = jax.lax.scan(
+        iteration, (dmlp0, dcoef0, dvec0, buf),
         jnp.arange(nb, dtype=jnp.int32),
     )
-    # fold the wrapped halo spans back onto the head/tail H rows
-    dx = dx_ext[H : H + N]
-    dx = dx.at[N - H :].add(dx_ext[:H])
-    dx = dx.at[:H].add(dx_ext[N + H :])
+    dx = dx.reshape(N, dim_x)
     dmlp = tuple(g.astype(w.dtype) for g, w in zip(dmlp, mlp_ws))
     return (
         dmlp,
@@ -2074,9 +2097,11 @@ def fused_conv_apply_vec(
     if ring and row_chunk and row_chunk < n:
         W = int(ring)  # mirror window in chunks (True -> 1)
         RC = (row_chunk // A) * A
-        assert RC > 0 and n % RC == 0 and n // RC >= 2 * W + 1, (
+        assert (
+            RC > 0 and n % RC == 0 and (n // RC) % (2 * W + 1) == 0
+        ), (
             f"ring backward needs row_chunk ({RC}) to divide the atom "
-            f"capacity ({n}) into >= 2W+1 = {2 * W + 1} chunks"
+            f"capacity ({n}) into a multiple of 2W+1 = {2 * W + 1} chunks"
         )
         return _fused_conv_ring_v(
             conv, mlp_spec, A, bool(param_grads), embed, RC, W, ws,

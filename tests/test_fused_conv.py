@@ -380,20 +380,23 @@ def _chain_vec_setup(N=48, K=8, seed=0):
     return conv, mlp, embed, mlp_p, coef, x, vec_rows, jnp.asarray(src), mir
 
 
-@pytest.mark.parametrize("param_grads,W,RC", [
-    (False, 1, 16),
-    (True, 1, 16),
-    # W=2 window: wider gather span + two-chunk wrap folds must stay exact
-    (False, 2, 8),
-    (True, 2, 8),
+@pytest.mark.parametrize("param_grads,W,RC,N", [
+    (False, 1, 16, 48),
+    (True, 1, 16, 48),
+    # W=2 window: wider gather span + the rolling buffer's wrap slots
+    # must stay exact; nb = 10 chunks, span 5 (nb % (2W+1) == 0)
+    (False, 2, 8, 80),
+    (True, 2, 8, 80),
 ])
-def test_fused_vec_ring_matches_unchunked(param_grads, W, RC):
-    """Vec-mode ring mirror backward (round 4 — the production 100k path:
-    in-kernel edge embedding + halo-accumulated dx) == the unchunked
-    vec-mode mirror path, incl. the periodic wrap chunks."""
+def test_fused_vec_ring_matches_unchunked(param_grads, W, RC, N):
+    """Vec-mode ring mirror backward (round 5 — the production 100k path:
+    in-kernel edge embedding + rolling-buffer dxg with exactly-once
+    mirror gathers) == the unchunked vec-mode mirror path, incl. the
+    periodic wrap chunks."""
     from sevennet_tpu.ops.fused_conv import fused_conv_apply_vec
 
-    conv, mlp, embed, mlp_p, coef, x, vec_rows, src, mir = _chain_vec_setup()
+    conv, mlp, embed, mlp_p, coef, x, vec_rows, src, mir = (
+        _chain_vec_setup(N=N))
     cot = jax.random.normal(jax.random.PRNGKey(9),
                             (x.shape[0], conv.irreps_mid.dim)) * 0.1
 

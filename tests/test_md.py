@@ -496,3 +496,41 @@ def test_engine_ring_backward_matches_dense(monkeypatch):
     _, p1 = unsort(s_ring)
     _, p0 = unsort(s_ref)
     np.testing.assert_allclose(p1[:n], p0[:n], atol=1e-4)
+
+
+def test_host_initial_build_matches_device_rebuild(monkeypatch):
+    """make_state's host-side numpy graph construction (round 5 — skips
+    the standalone jit(_rebuild), whose remote compile cost up to 20 min
+    at 100k atoms) produces the same initial physics as the device
+    rebuild, sorted and unsorted, including a ring-engaged engine."""
+    from bench import water_box
+    from sevennet_tpu.model import build_model_spec
+    from sevennet_tpu.model.model import model_init
+    from sevennet_tpu.md import MDEngine
+
+    pos, Z, cell = water_box(80)
+    spec = build_model_spec(
+        {"cutoff": 5.0, "chemical_species": ["H", "O"], "_remat": False,
+         "_edge_chunk": 512}
+    )
+    params = model_init(jax.random.PRNGKey(0), spec)
+    # chunk threshold forced down so the ring/sorted machinery engages
+    monkeypatch.setenv("SEVENNET_TPU_CHUNK_THRESHOLD", "100000")
+
+    def forces_of(host_build):
+        monkeypatch.setenv("SEVENNET_TPU_HOST_BUILD", str(int(host_build)))
+        eng = MDEngine(spec, params, cell, fused=True,
+                       matmul_precision="highest")
+        st = eng.make_state(pos, Z)
+        f = np.asarray(st.forces)
+        idx = np.asarray(st.atom_index)
+        out = np.zeros((len(Z), 3), f.dtype)
+        ok = idx < len(Z)
+        out[idx[ok]] = f[ok]
+        return eng, out, float(st.potential_energy)
+
+    e1, f1, pe1 = forces_of(True)
+    e0, f0, pe0 = forces_of(False)
+    assert e1._ring_nb and e1.sort_atoms  # the 100k-scale configuration
+    np.testing.assert_allclose(f1, f0, atol=5e-5)
+    assert abs(pe1 - pe0) < 1e-4
