@@ -901,6 +901,7 @@ def make_fused_conv_bwd2(
     interpret: Optional[bool] = None,
     embed: Optional[EdgeEmbedSpec] = None,
     dxg_dtype=jnp.float32,
+    out_slots: int = 1,
 ):
     """Round-3 backward kernel: same contract as :func:`make_fused_conv_bwd`
     but with the redundant products factored out (measured 60% of model cost
@@ -1097,42 +1098,77 @@ def make_fused_conv_bwd2(
                     dcoef_ref[:] = dcoef_ref[:] + dcoef
         dxg_ref[:] = dxscr[:].T.astype(dxg_dtype)
 
-    def fused_bwd(xg, emb, sh, ybar, mlp_ws):
+    # out_slots > 1 (ring rolling buffer, round 5): the dxg output is one
+    # SLOT of a (out_slots*NK, dim_x) buffer, selected by a scalar-prefetch
+    # index — the kernel writes its chunk's dxg directly into the ring
+    # buffer (aliased in/out, in-place) instead of producing a fresh
+    # (NK, dim_x) array that the caller dynamic-update-slices in (a full
+    # extra HBM read+write of the largest backward tensor per chunk).
+    slotted = out_slots > 1
+    if slotted:
+        # index maps gain the trailing scalar-prefetch ref argument
+        def _row(i, s=None):
+            return (i, 0)
+
+        def _col(i, s=None):
+            return (0, i)
+
+        def _fix(i, s=None):
+            return (0, 0)
+    else:
+        _row = lambda i: (i, 0)      # noqa: E731
+        _col = lambda i: (0, i)      # noqa: E731
+        _fix = lambda i: (0, 0)      # noqa: E731
+
+    def fused_bwd(*args):
+        if slotted:
+            slot, buf, xg, emb, sh, ybar, mlp_ws = args
+        else:
+            xg, emb, sh, ybar, mlp_ws = args
         # vec mode: emb = vec (3, NK) k-major lanes, sh = coef (n_basis, 1)
         NK = xg.shape[0]
         assert NK % T == 0, (NK, T)
         n_blocks = NK // T
         if embed is not None:
             edge_specs = [
-                pl.BlockSpec((3, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_basis, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, T), _col, memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_basis, 1), _fix, memory_space=pltpu.VMEM),
             ]
         else:
             edge_specs = [
-                pl.BlockSpec((T, n_basis), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, dim_f), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, n_basis), _row, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, dim_f), _row, memory_space=pltpu.VMEM),
             ]
         in_specs = [
-            pl.BlockSpec((T, dim_x), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, dim_x), _row, memory_space=pltpu.VMEM),
         ] + edge_specs + [
-            pl.BlockSpec((A, dim_mid), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, dim_mid), _row, memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(w.shape, _fix, memory_space=pltpu.VMEM)
             for w in mlp_ws
         ] + [
-            pl.BlockSpec((R, dim_f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, dim_f), _fix, memory_space=pltpu.VMEM),
         ]
-        out_shape = [jax.ShapeDtypeStruct((NK, dim_x), dxg_dtype)]
-        out_specs = [
-            pl.BlockSpec((T, dim_x), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ]
+        if slotted:
+            out_shape = [
+                jax.ShapeDtypeStruct((out_slots * NK, dim_x), dxg_dtype)
+            ]
+            out_specs = [
+                pl.BlockSpec(
+                    (T, dim_x),
+                    lambda i, s: (s[0] * n_blocks + i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+        else:
+            out_shape = [jax.ShapeDtypeStruct((NK, dim_x), dxg_dtype)]
+            out_specs = [
+                pl.BlockSpec((T, dim_x), _row, memory_space=pltpu.VMEM),
+            ]
         if embed is not None:
             out_shape.append(jax.ShapeDtypeStruct((3, NK), jnp.float32))
             out_specs.append(
-                pl.BlockSpec((3, T), lambda i: (0, i), memory_space=pltpu.VMEM)
+                pl.BlockSpec((3, T), _col, memory_space=pltpu.VMEM)
             )
         else:
             out_shape += [
@@ -1140,39 +1176,61 @@ def make_fused_conv_bwd2(
                 jax.ShapeDtypeStruct((NK, dim_f), jnp.float32),
             ]
             out_specs += [
-                pl.BlockSpec((T, n_basis), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, dim_f), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, n_basis), _row, memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, dim_f), _row, memory_space=pltpu.VMEM),
             ]
         if param_grads:
             for w in mlp_ws:
                 out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
                 out_specs.append(
-                    pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+                    pl.BlockSpec(w.shape, _fix, memory_space=pltpu.VMEM)
                 )
             if embed is not None:
                 out_shape.append(
                     jax.ShapeDtypeStruct((n_basis, 1), jnp.float32)
                 )
                 out_specs.append(
-                    pl.BlockSpec((n_basis, 1), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM)
+                    pl.BlockSpec((n_basis, 1), _fix, memory_space=pltpu.VMEM)
                 )
         # the in-specs above re-order kernel args as (xg, emb|vec, sh|coef,
         # ybar, ...) — match the kernel signature by passing in that order
-        res = pl.pallas_call(
-            kernel,
-            grid=(n_blocks,),
-            in_specs=in_specs,
-            out_specs=tuple(out_specs),
-            out_shape=tuple(out_shape),
-            scratch_shapes=[pltpu.VMEM((dim_x, T), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_VMEM_LIMIT
-            ),
-            interpret=_auto_interpret(interpret),
-        )(xg, emb, sh, ybar, *mlp_ws, jnp.asarray(w3j_pack_np))
+        if slotted:
+            def kernel_slotted(slot_ref, buf_ref, *rest):
+                kernel(*rest)
+
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_blocks,),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + in_specs,
+                out_specs=tuple(out_specs),
+                scratch_shapes=[pltpu.VMEM((dim_x, T), jnp.float32)],
+            )
+            res = pl.pallas_call(
+                kernel_slotted,
+                grid_spec=grid_spec,
+                out_shape=tuple(out_shape),
+                # buf (input 1; the scalar slot index is input 0) IS the
+                # dxg output buffer: in-place slot write, no copy
+                input_output_aliases={1: 0},
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=_VMEM_LIMIT
+                ),
+                interpret=_auto_interpret(interpret),
+            )(slot, buf, xg, emb, sh, ybar, *mlp_ws,
+              jnp.asarray(w3j_pack_np))
+        else:
+            res = pl.pallas_call(
+                kernel,
+                grid=(n_blocks,),
+                in_specs=in_specs,
+                out_specs=tuple(out_specs),
+                out_shape=tuple(out_shape),
+                scratch_shapes=[pltpu.VMEM((dim_x, T), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=_VMEM_LIMIT
+                ),
+                interpret=_auto_interpret(interpret),
+            )(xg, emb, sh, ybar, *mlp_ws, jnp.asarray(w3j_pack_np))
         n_fixed = 2 if embed is not None else 3
         if param_grads:
             return (*res[:n_fixed], tuple(res[n_fixed:]))
@@ -1326,6 +1384,28 @@ def _get_kernels(conv, mlp_spec, A, K, param_grads, A_b=None, embed=None):
         _KERNEL_CACHE[key] = (
             make_fused_conv_fwd(conv, mlp_spec, A, K),
             lambda xg, emb, sh, ybar, ws: bwd_op(ws, xg, emb, sh, ybar),
+            A_b,
+        )
+    return _KERNEL_CACHE[key]
+
+
+def _get_slotted_bwd(conv, mlp_spec, A, K, span, embed):
+    """Ring-buffer backward kernel (vec mode, MD path — no param grads, not
+    differentiable further): writes dxg straight into slot ``j % span`` of
+    the caller's rolling buffer. Cached separately from the second-order-
+    capable ops in :func:`_get_kernels`."""
+    import os
+
+    A_b = fused_conv_bwd_block_atoms(A, K)
+    key = ("slotted", conv, mlp_spec, A, K, span, A_b, embed)
+    if key not in _KERNEL_CACHE:
+        dxg_bf16 = bool(int(os.environ.get("SEVENNET_TPU_DXG_BF16", 0)))
+        _KERNEL_CACHE[key] = (
+            make_fused_conv_bwd2(
+                conv, mlp_spec, A_b, K, param_grads=False, embed=embed,
+                dxg_dtype=jnp.bfloat16 if dxg_bf16 else jnp.float32,
+                out_slots=span,
+            ),
             A_b,
         )
     return _KERNEL_CACHE[key]
@@ -1915,44 +1995,64 @@ def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, W,
     def slc(a, start):
         return jax.lax.dynamic_slice_in_dim(a, start, RC, 0)
 
-    def chunk_dxg(j):
-        """Run the backward kernel on chunk j; returns its raw outputs."""
+    def chunk_inputs(j):
         start = j * RC
         src_c = slc(src_nk, start)
         xg = x[to_k_major(src_c, A_b)]
         vec_c = jax.lax.dynamic_slice_in_dim(vec_rows, start * K, RCK, 1)
-        return bwd(xg, to_k_major_rows(vec_c, A_b, K), coef,
-                   slc(ybar, start), tuple(mlp_ws))
+        return xg, to_k_major_rows(vec_c, A_b, K), slc(ybar, start)
 
+    if param_grads:
+        def chunk_dxg(buf, j):
+            """Kernel on chunk j; dxg is update-sliced into the buffer."""
+            xg, vec_c, yb = chunk_inputs(j)
+            dxg_km, dvec_b, extras = bwd(xg, vec_c, coef, yb, tuple(mlp_ws))
+            buf = jax.lax.dynamic_update_slice_in_dim(
+                buf, dxg_km, jnp.mod(j, span) * RCK, 0
+            )
+            return buf, dvec_b, extras
+    else:
+        # MD path: the slotted kernel writes dxg DIRECTLY into the
+        # rolling buffer (aliased output, scalar-prefetch slot index) —
+        # saves a full HBM read+write of the (RCK, dim_x) dxg per chunk
+        bwd_slot, A_b_s = _get_slotted_bwd(conv, mlp_spec, A, K, span,
+                                           embed)
+        assert A_b_s == A_b
+
+        def chunk_dxg(buf, j):
+            xg, vec_c, yb = chunk_inputs(j)
+            slot = jnp.mod(jnp.asarray(j, jnp.int32), span).reshape(1)
+            buf, dvec_b = bwd_slot(slot, buf, xg, vec_c, coef, yb,
+                                   tuple(mlp_ws))
+            return buf, dvec_b, ()
+
+    import os as _os_r
+
+    dxg_dt = (
+        jnp.bfloat16
+        if (not param_grads
+            and bool(int(_os_r.environ.get("SEVENNET_TPU_DXG_BF16", 0))))
+        else jnp.float32
+    )
     # prologue: seed the buffer with the 2W wrap chunks (nb-W..nb-1,
     # 0..W-1) so iteration 0's full window is live. Gradient side
     # outputs are discarded here — the scan recomputes these chunks.
-    pro = [(q, chunk_dxg(q)) for q in
-           [nb - W + d for d in range(W)] + list(range(W))]
-    buf = jnp.zeros((span * RCK, dim_x), pro[0][1][0].dtype)
-    for q, outs in pro:
-        buf = jax.lax.dynamic_update_slice_in_dim(
-            buf, outs[0], (q % span) * RCK, 0
-        )
+    buf = jnp.zeros((span * RCK, dim_x), dxg_dt)
+    for q in [nb - W + d for d in range(W)] + list(range(W)):
+        buf, _, _ = chunk_dxg(buf, q)
 
     def iteration(carry, i):
         dmlp, dcoef, dvec, buf = carry
         # compute dxg for the LEADING chunk of window i
         j = jnp.mod(i + W, nb)
-        outs = chunk_dxg(j)
+        buf, dvec_b, extras = chunk_dxg(buf, j)
         if param_grads:
-            dxg_km, dvec_b, extras = outs
             dmlp = tuple(a + b for a, b in zip(dmlp, extras[:-1]))
             dcoef = dcoef + extras[-1]
-        else:
-            dxg_km, dvec_b = outs
         # dvec accumulates IN-PLACE in the carry: stacked ys would be
         # permuted+padded by XLA (42.7x expansion at 100k atoms)
         dvec = jax.lax.dynamic_update_slice_in_dim(
             dvec, from_k_major_rows(dvec_b, A_b, K), j * RCK, 1
-        )
-        buf = jax.lax.dynamic_update_slice_in_dim(
-            buf, dxg_km, jnp.mod(j, span) * RCK, 0
         )
         # emit dx for chunk i: every mirror of its rows lies in chunks
         # i-W..i+W (ring contract, re-checked at each rebuild), all of
