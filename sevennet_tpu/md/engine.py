@@ -298,11 +298,29 @@ class MDEngine:
                 Z_in = np.asarray(atomic_numbers)
             else:
                 pos_in = pos_w
+        velocities = None
+        if host_build and temperature is not None:
+            # draw thermal velocities in the ORIGINAL atom order and
+            # permute: the same (structure, seed) must give the same
+            # physical initial conditions whether or not the engine
+            # cell-sorts its atom layout (state.py's own draw would act
+            # on the sorted order)
+            from .state import ATOMIC_MASSES, EV_A_AMU_TO_A_FS2, KB_EV
+
+            rng_np = np.random.default_rng(seed)
+            m = ATOMIC_MASSES[np.asarray(atomic_numbers)]
+            sigma = np.sqrt(KB_EV * temperature / m) * np.sqrt(
+                EV_A_AMU_TO_A_FS2
+            )
+            velocities = rng_np.normal(size=(len(m), 3)) * sigma[:, None]
+            velocities -= (m[:, None] * velocities).sum(0) / m.sum()
+            velocities = velocities[perm]
         state = init_md_state(
             pos_in,
             species,
             self.cell,
             atomic_numbers=Z_in,
+            velocities=velocities,
             temperature=temperature,
             seed=seed,
             n_atoms_cap=n_atoms_cap,
@@ -562,20 +580,18 @@ class MDEngine:
             rc0 = max(self.spec.edge_chunk // self.k_model, A)
         else:
             rc0 = max(self.spec.edge_chunk // self.k_model, window, A)
-        nb0 = n_cap // rc0
-        if nb0 < 3:
-            return n_cap  # too few chunks: fall back to scatter-add
-        # the rolling-buffer ring backward requires nb % (2W+1) == 0 (its
-        # chunk->buffer-slot map is span-periodic across the PBC wrap);
-        # search downward from the edge_chunk-sized nb for the first
-        # admissible chunk count — RC grows slightly, W can shrink with it
+        nb = n_cap // rc0
         choice = None
-        for nb in range(nb0, 2, -1):
-            RC = -(-(-(-n_cap // nb)) // A) * A  # ceil to A multiple
+        # small systems: the window can span more chunks than exist at
+        # the edge_chunk-sized RC — grow RC (shrink nb) until the 2W+1
+        # window fits; W shrinks with growing RC, so this converges
+        while nb >= 3:
+            RC = -(-(-(-n_cap // nb)) // A) * A  # ceil(n_cap/nb), A mult
             W = max(1, -(-window // RC)) if vec else 1
-            if nb % (2 * W + 1) == 0:
+            if nb >= 2 * W + 1:
                 choice = (nb, RC, W)
                 break
+            nb -= 1
         if choice is None:
             return n_cap  # window spans the whole box: scatter-add
         nb, RC, W = choice

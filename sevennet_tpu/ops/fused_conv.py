@@ -1934,6 +1934,30 @@ _fused_conv_ring.defvjp(_fused_conv_ring_fwd, _fused_conv_ring_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _window_gather_on() -> bool:
+    """Window-local xg gathers in the ring paths (round 5): the ring
+    contract guarantees every edge's source atom lies within W chunks of
+    its receiver chunk, so each chunk can dynamic-slice the (2W+1)*RC-row
+    window into a small contiguous table and gather locally. Default OFF:
+    r5_gather_probe measured the isolated gather rate FLAT (~22-24
+    ns/row) across table size, dtype and index locality, so the
+    pre-slice copies are pure overhead unless a full-program A/B at 100k
+    shows otherwise."""
+    import os
+
+    return bool(int(os.environ.get("SEVENNET_TPU_WINDOW_GATHER", 0)))
+
+
+def _windowed_xg(x_ext, src_c, i, W, RC, nb, N, A):
+    """Gather chunk i's x rows from its span window of the extended table
+    (``x_ext = concat([x, x[:span*RC]])``)."""
+    base = jnp.mod(i - W, nb) * RC
+    span = 2 * W + 1
+    xs = jax.lax.dynamic_slice_in_dim(x_ext, base, span * RC, 0)
+    loc = jnp.mod(src_c - base, N)
+    return xs[to_k_major(loc, A)]
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _fused_conv_ring_v(conv, mlp_spec, A, param_grads, embed, RC, W, mlp_ws,
                        coef, x, vec_rows, src_nk, mir_nk):
@@ -1941,11 +1965,17 @@ def _fused_conv_ring_v(conv, mlp_spec, A, param_grads, embed, RC, W, mlp_ws,
     fwd, _, _ = _get_kernels(conv, mlp_spec, A, K, param_grads, embed=embed)
     nb = N // RC
     RCK = RC * K
+    span = 2 * W + 1
+    windowed = _window_gather_on() and span < nb
+    x_ext = jnp.concatenate([x, x[: span * RC]], 0) if windowed else None
 
     def chunk(carry, sl):
         i, src_c = sl
         vec_c = jax.lax.dynamic_slice_in_dim(vec_rows, i * RCK, RCK, 1)
-        xg = x[to_k_major(src_c, A)]
+        if windowed:
+            xg = _windowed_xg(x_ext, src_c, i, W, RC, nb, N, A)
+        else:
+            xg = x[to_k_major(src_c, A)]
         out = fwd(xg, to_k_major_rows(vec_c, A, K), coef, tuple(mlp_ws))
         return carry, jax.lax.optimization_barrier(out)
 
@@ -1965,20 +1995,27 @@ def _fused_conv_ring_v_fwd(conv, mlp_spec, A, param_grads, embed, RC, W,
 
 def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, W,
                            res, ybar):
-    """Rolling-buffer mirror backward (round 5).
+    """Rolling-buffer mirror backward (round 5, rev 2: pinned wrap slots).
 
     The r4 halo variant gathered a (2W+1)-chunk mirror span against EVERY
     chunk's transient dxg with a hit mask — span x redundant gather
     traffic (measured 9.2 s/step at 100k with W=3). Here a rolling HBM
-    buffer keeps the last 2W+1 dxg chunks live (slot = chunk % span,
-    consistent across the PBC wrap because nb % span == 0), and each
-    destination chunk gathers its K mirrors EXACTLY ONCE — the same
-    total gather traffic as the unchunked mirror path, with bounded
-    memory. Iteration i computes dxg for chunk (i+W) mod nb and emits dx
-    for chunk i (whose window i-W..i+W is then fully buffered); a 2W-
-    chunk prologue seeds the wrap slots (those chunks' dxg are
-    recomputed by the scan tail — ~2W/nb extra kernel cost — but their
-    dmlp/dvec accumulate only in the scan, exactly once)."""
+    buffer keeps the window's dxg chunks live and each destination chunk
+    gathers its K mirrors EXACTLY ONCE — the same total gather traffic
+    as the unchunked mirror path, with bounded memory.
+
+    Slot map: chunks 0..2W-1 are PINNED in dedicated slots
+    span..span+2W-1 (never overwritten — the wrapped windows of the
+    first and last W destinations need them after the scan), all other
+    chunks cycle through slot c % span. Iteration j computes chunk j's
+    dxg into its slot and emits dx for destination i = j-W when the
+    destination's window is fully computed and non-wrapping (j >= 2W);
+    after the scan a gather-only epilogue emits the 2W wrapped-window
+    destinations (0..W-1 need the last-computed high chunks, nb-W..nb-1
+    the pinned low chunks). Exactly nb kernel calls — the rev-1 design
+    recomputed 2W prologue chunks per layer (~22% extra backward kernel
+    and xg-gather cost at 100k) and needed nb % (2W+1) == 0, which
+    inflated W at bench geometry."""
     mlp_ws, coef, x, vec_rows, src_nk, mir_nk = res
     N, K = src_nk.shape
     dim_x = conv.irreps_x.dim
@@ -1987,18 +2024,27 @@ def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, W,
     nb = N // RC
     RCK = RC * K
     span = 2 * W + 1
-    assert nb >= span and nb % span == 0, (
-        f"ring backward needs the chunk count ({nb}) to be a multiple of "
-        f"2W+1 = {span}"
+    S = span + 2 * W  # cycling slots + pinned wrap slots
+    assert nb >= span, (
+        f"ring backward needs >= 2W+1 = {span} row chunks (have {nb})"
     )
+
+    def slot_of(c):
+        return jnp.where(c < 2 * W, span + c, jnp.mod(c, span))
 
     def slc(a, start):
         return jax.lax.dynamic_slice_in_dim(a, start, RC, 0)
 
+    windowed = _window_gather_on() and span < nb
+    x_ext = jnp.concatenate([x, x[: span * RC]], 0) if windowed else None
+
     def chunk_inputs(j):
         start = j * RC
         src_c = slc(src_nk, start)
-        xg = x[to_k_major(src_c, A_b)]
+        if windowed:
+            xg = _windowed_xg(x_ext, src_c, j, W, RC, nb, N, A_b)
+        else:
+            xg = x[to_k_major(src_c, A_b)]
         vec_c = jax.lax.dynamic_slice_in_dim(vec_rows, start * K, RCK, 1)
         return xg, to_k_major_rows(vec_c, A_b, K), slc(ybar, start)
 
@@ -2008,20 +2054,21 @@ def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, W,
             xg, vec_c, yb = chunk_inputs(j)
             dxg_km, dvec_b, extras = bwd(xg, vec_c, coef, yb, tuple(mlp_ws))
             buf = jax.lax.dynamic_update_slice_in_dim(
-                buf, dxg_km, jnp.mod(j, span) * RCK, 0
+                buf, dxg_km, slot_of(j) * RCK, 0
             )
             return buf, dvec_b, extras
     else:
         # MD path: the slotted kernel writes dxg DIRECTLY into the
         # rolling buffer (aliased output, scalar-prefetch slot index) —
         # saves a full HBM read+write of the (RCK, dim_x) dxg per chunk
-        bwd_slot, A_b_s = _get_slotted_bwd(conv, mlp_spec, A, K, span,
+        bwd_slot, A_b_s = _get_slotted_bwd(conv, mlp_spec, A, K, S,
                                            embed)
         assert A_b_s == A_b
 
         def chunk_dxg(buf, j):
             xg, vec_c, yb = chunk_inputs(j)
-            slot = jnp.mod(jnp.asarray(j, jnp.int32), span).reshape(1)
+            slot = slot_of(jnp.asarray(j, jnp.int32)).astype(
+                jnp.int32).reshape(1)
             buf, dvec_b = bwd_slot(slot, buf, xg, vec_c, coef, yb,
                                    tuple(mlp_ws))
             return buf, dvec_b, ()
@@ -2034,30 +2081,12 @@ def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, W,
             and bool(int(_os_r.environ.get("SEVENNET_TPU_DXG_BF16", 0))))
         else jnp.float32
     )
-    # prologue: seed the buffer with the 2W wrap chunks (nb-W..nb-1,
-    # 0..W-1) so iteration 0's full window is live. Gradient side
-    # outputs are discarded here — the scan recomputes these chunks.
-    buf = jnp.zeros((span * RCK, dim_x), dxg_dt)
-    for q in [nb - W + d for d in range(W)] + list(range(W)):
-        buf, _, _ = chunk_dxg(buf, q)
 
-    def iteration(carry, i):
-        dmlp, dcoef, dvec, buf = carry
-        # compute dxg for the LEADING chunk of window i
-        j = jnp.mod(i + W, nb)
-        buf, dvec_b, extras = chunk_dxg(buf, j)
-        if param_grads:
-            dmlp = tuple(a + b for a, b in zip(dmlp, extras[:-1]))
-            dcoef = dcoef + extras[-1]
-        # dvec accumulates IN-PLACE in the carry: stacked ys would be
-        # permuted+padded by XLA (42.7x expansion at 100k atoms)
-        dvec = jax.lax.dynamic_update_slice_in_dim(
-            dvec, from_k_major_rows(dvec_b, A_b, K), j * RCK, 1
-        )
-        # emit dx for chunk i: every mirror of its rows lies in chunks
-        # i-W..i+W (ring contract, re-checked at each rebuild), all of
-        # which are live in the buffer — gather each dxg row once, no
-        # masks (bf16 rows when SEVENNET_TPU_DXG_BF16 — half traffic)
+    def emit(buf, i):
+        """dx for destination chunk i: every mirror of its rows lies in
+        chunks i-W..i+W (ring contract, re-checked at each rebuild), all
+        live in the buffer — gather each dxg row once, no masks (bf16
+        rows when SEVENNET_TPU_DXG_BF16 — half traffic)."""
         mir_c = slc(mir_nk, i * RC)                     # (RC, K) global
         q_m = mir_c // RCK
         o = mir_c - q_m * RCK
@@ -2067,23 +2096,53 @@ def _fused_conv_ring_v_bwd(conv, mlp_spec, A, param_grads, embed, RC, W,
             (r_loc // A_b) * (K * A_b) + kk * A_b
             + r_loc - (r_loc // A_b) * A_b
         )
-        rows = jnp.mod(q_m, span) * RCK + km
-        contrib = (
+        rows = slot_of(q_m) * RCK + km
+        return (
             buf[rows.reshape(-1)]
             .astype(jnp.float32)
             .reshape(RC, K, dim_x)
             .sum(axis=1)
+        )
+
+    buf = jnp.zeros((S * RCK, dim_x), dxg_dt)
+
+    def iteration(carry, j):
+        dmlp, dcoef, dvec, buf = carry
+        buf, dvec_b, extras = chunk_dxg(buf, j)
+        if param_grads:
+            dmlp = tuple(a + b for a, b in zip(dmlp, extras[:-1]))
+            dcoef = dcoef + extras[-1]
+        # dvec accumulates IN-PLACE in the carry: stacked ys would be
+        # permuted+padded by XLA (42.7x expansion at 100k atoms)
+        dvec = jax.lax.dynamic_update_slice_in_dim(
+            dvec, from_k_major_rows(dvec_b, A_b, K), j * RCK, 1
+        )
+        # emit destination j-W, whose full window is now computed; the
+        # first 2W iterations skip (their destinations wrap — the
+        # epilogue below emits them from the pinned/live slots)
+        contrib = jax.lax.cond(
+            j >= 2 * W,
+            lambda: emit(buf, j - W),
+            lambda: jnp.zeros((RC, dim_x), jnp.float32),
         )
         return (dmlp, dcoef, dvec, buf), contrib
 
     dmlp0 = tuple(jnp.zeros_like(w) for w in mlp_ws)
     dcoef0 = jnp.zeros_like(coef)
     dvec0 = jnp.zeros((3, N * K), jnp.float32)
-    (dmlp, dcoef, dvec, _), dx = jax.lax.scan(
+    (dmlp, dcoef, dvec, buf), ys = jax.lax.scan(
         iteration, (dmlp0, dcoef0, dvec0, buf),
         jnp.arange(nb, dtype=jnp.int32),
     )
-    dx = dx.reshape(N, dim_x)
+    # ys[j] holds destination j-W -> destination d sits at ys[d+W]
+    dx = jnp.roll(ys, -W, axis=0).reshape(N, dim_x)
+    # epilogue: the 2W wrapped-window destinations — the first W need
+    # the last-computed high chunks, the last W the pinned low chunks;
+    # gather-only, no kernel recompute
+    for d in list(range(W)) + list(range(nb - W, nb)):
+        dx = jax.lax.dynamic_update_slice_in_dim(
+            dx, emit(buf, d), d * RC, 0
+        )
     dmlp = tuple(g.astype(w.dtype) for g, w in zip(dmlp, mlp_ws))
     return (
         dmlp,
@@ -2197,11 +2256,9 @@ def fused_conv_apply_vec(
     if ring and row_chunk and row_chunk < n:
         W = int(ring)  # mirror window in chunks (True -> 1)
         RC = (row_chunk // A) * A
-        assert (
-            RC > 0 and n % RC == 0 and (n // RC) % (2 * W + 1) == 0
-        ), (
+        assert RC > 0 and n % RC == 0 and n // RC >= 2 * W + 1, (
             f"ring backward needs row_chunk ({RC}) to divide the atom "
-            f"capacity ({n}) into a multiple of 2W+1 = {2 * W + 1} chunks"
+            f"capacity ({n}) into >= 2W+1 = {2 * W + 1} chunks"
         )
         return _fused_conv_ring_v(
             conv, mlp_spec, A, bool(param_grads), embed, RC, W, ws,
