@@ -21,6 +21,7 @@ def test_single_point(calc, hfo2_structure):
     assert np.abs(res["forces"].sum(0)).max() < 1e-3
 
 
+@pytest.mark.slow
 def test_molecule_no_stress(calc):
     at = AtomsLite.from_symbols(["O", "O"], [[0, 0, 0], [1.3, 0, 0]])
     res = calc.calculate(at)
@@ -61,6 +62,7 @@ def test_combined_d3_calculator(calc, hfo2_structure):
     assert "stress" in res
 
 
+@pytest.mark.slow
 def test_batched_calculator(reference_checkpoint_path, hfo2_structure):
     from sevennet_tpu.batched import BatchedCalculator
 

@@ -123,8 +123,8 @@ def test_import_metadata(imported, deployed):
         # smoke budget (~2 min total on CPU): one structure suffices for
         # the quick gate; the other two run in the full suite
         pytest.param(0, marks=pytest.mark.smoke),
-        1,
-        2,
+        pytest.param(1, marks=pytest.mark.slow),
+        pytest.param(2, marks=pytest.mark.slow),
     ],
 )
 def test_serial_deployed_parity(imported, deployed, idx):

@@ -243,6 +243,7 @@ def imported():
     return load_deployed_model(SERIAL)
 
 
+@pytest.mark.slow
 def test_serial_supercell_golden(imported):
     """Wide serial anchor (VERDICT r4 #8): 144-atom triclinic cell vs the
     artifact, tolerances ~10x the achieved round-5 margins (see module

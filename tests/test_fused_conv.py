@@ -139,7 +139,8 @@ def test_fused_layer0_scalar_input():
                                atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("param_grads", [True, False])
+@pytest.mark.parametrize("param_grads", [
+    pytest.param(True, marks=pytest.mark.slow), False])
 def test_fused_chunked_matches_unchunked(param_grads):
     """row_chunk streaming (the 100k-atom memory-bounded mode: scan over
     row chunks, scatter-add backward) == the mirror-reduced full path."""
@@ -155,8 +156,10 @@ def test_fused_chunked_matches_unchunked(param_grads):
 
     (l1, o1), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
                                       has_aux=True)(mlp_p, x, emb, sh, 0)
-    # 16 divides N=32; 24 does not (exercises the row padding)
-    for rc in (16, 24):
+    # 16 divides N=32; 24 does not (exercises the row padding); the
+    # quick run (param_grads=False) checks only the padded case — the
+    # slow variant covers both
+    for rc in ((16, 24) if param_grads else (24,)):
         (l2, o2), g2 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
                                           has_aux=True)(mlp_p, x, emb, sh, rc)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
@@ -167,7 +170,8 @@ def test_fused_chunked_matches_unchunked(param_grads):
                                        atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("saved", [True, False])
+@pytest.mark.parametrize("saved", [
+    True, pytest.param(False, marks=pytest.mark.slow)])
 def test_fused_bwd_block_mismatch(monkeypatch, saved):
     """Backward block size != forward block size (A_b != A) must still pair
     the per-edge rows correctly — regression for the chunked backward
@@ -308,7 +312,8 @@ def test_fused_ring_matches_unchunked(param_grads):
                                    atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("wrt", ["sh", "emb"])
+@pytest.mark.parametrize("wrt", [
+    "sh", pytest.param("emb", marks=pytest.mark.slow)])
 def test_fused_grad_of_grad_matches_xla(wrt):
     """Force-loss training composition: outer parameter gradient THROUGH an
     inner input gradient (grad-of-grad). The fused conv's backward rule is
@@ -381,12 +386,14 @@ def _chain_vec_setup(N=48, K=8, seed=0):
 
 
 @pytest.mark.parametrize("param_grads,W,RC,N", [
+    # quick set keeps the production MD case (param_grads=False, the
+    # slotted aliased-buffer kernel); the rest run in the full suite
     (False, 1, 16, 48),
-    (True, 1, 16, 48),
+    pytest.param(True, 1, 16, 48, marks=pytest.mark.slow),
     # W=2 window: wider gather span + the rolling buffer's wrap slots
-    # must stay exact; nb = 10 chunks, span 5 (nb % (2W+1) == 0)
-    (False, 2, 8, 80),
-    (True, 2, 8, 80),
+    # must stay exact; nb = 10 chunks, span 5
+    pytest.param(False, 2, 8, 80, marks=pytest.mark.slow),
+    pytest.param(True, 2, 8, 80, marks=pytest.mark.slow),
 ])
 def test_fused_vec_ring_matches_unchunked(param_grads, W, RC, N):
     """Vec-mode ring mirror backward (round 5 — the production 100k path:

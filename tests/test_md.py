@@ -16,7 +16,8 @@ def _edge_set(dst, src, S, mask=None):
                    *[S[:, i].astype(int).tolist() for i in range(3)]))
 
 
-@pytest.mark.parametrize("box,n", [(12.0, 40), (9.0, 25)])
+@pytest.mark.parametrize("box,n", [
+    pytest.param(12.0, 40, marks=pytest.mark.slow), (9.0, 25)])
 def test_cell_list_matches_host_nl(box, n):
     rng = np.random.default_rng(0)
     pos = rng.uniform(0, box, (n, 3))
@@ -34,6 +35,7 @@ def test_cell_list_matches_host_nl(box, n):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_cell_list_triclinic():
     rng = np.random.default_rng(1)
     cell = np.array([[10.0, 0, 0], [1.5, 9.0, 0], [-0.8, 0.6, 9.5]])
@@ -52,6 +54,7 @@ def test_cell_list_triclinic():
     )
 
 
+@pytest.mark.slow
 def test_cell_list_edge_dst_sorted():
     rng = np.random.default_rng(2)
     pos = rng.uniform(0, 10, (20, 3))

@@ -52,7 +52,8 @@ def _xla_dense_reference(conv, mlp_spec, x, emb, sh, src, mlp_ws):
     return jnp.concatenate(pieces, -1)
 
 
-@pytest.mark.parametrize("parity", [False, True])
+@pytest.mark.parametrize("parity", [
+    pytest.param(False, marks=pytest.mark.slow), True])
 def test_pallas_kernel_matches_xla(parity):
     x_ir = Irreps("16x0e+8x1o+4x2e" if parity else "16x0e+8x1e+4x2e")
     f_ir = Irreps.spherical_harmonics(2, -1 if parity else 1)

@@ -53,7 +53,11 @@ def _mesh(n):
 
 @pytest.mark.parametrize(
     "n_dev",
-    [1, pytest.param(2, marks=pytest.mark.smoke), 4],
+    [
+        pytest.param(1, marks=pytest.mark.slow),
+        pytest.param(2, marks=pytest.mark.smoke),
+        pytest.param(4, marks=pytest.mark.slow),
+    ],
 )
 def test_distributed_matches_serial(system, spec_params, n_dev):
     from sevennet_tpu.parallel import distributed_compute, partition_system
