@@ -37,6 +37,19 @@ class BatchedCalculator:
             from .io.native_checkpoint import load_checkpoint
 
             spec, params, _ = load_checkpoint(str(model))
+        import dataclasses
+
+        # memory-safe evaluation policy for arbitrary batch sizes: the
+        # flat conv path without remat/chunking holds (E, dim_mid)
+        # per-edge tensors per layer through the force backward — ~10 GB
+        # for a 3k-atom batch of SevenNet-0 (measured OOM on a 16 GB
+        # chip). Rematerialize layers and stream edges in chunks; specs
+        # that already set a chunk keep it.
+        spec = dataclasses.replace(
+            spec,
+            remat_layers=True,
+            edge_chunk=spec.edge_chunk or 32768,
+        )
         self.spec = spec
         self.params = params
         prec = matmul_precision

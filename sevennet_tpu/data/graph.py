@@ -113,24 +113,30 @@ def graph_from_arrays(
         forces = np.full((n, 3), np.nan)
     if stress is None:
         stress = np.full((6,), np.nan)
+    # HOST numpy arrays, deliberately: a single un-batched graph is a
+    # host-side artifact (dataset building, batching input). Eager
+    # jnp.asarray here meant one device put PER FIELD PER GRAPH — ~30 ms
+    # each through the axon TPU tunnel, turning a 32-system batch build
+    # into ~17 s of round trips (round 5). The jit boundary (or
+    # batch_graphs) transfers the batched arrays once.
     return GraphBatch(
-        positions=jnp.asarray(positions, dtype),
-        species=jnp.asarray(species, jnp.int32),
-        atom_mask=jnp.ones((n,), bool),
-        batch=jnp.zeros((n,), jnp.int32),
-        edge_src=jnp.asarray(edge_src, jnp.int32),
-        edge_dst=jnp.asarray(edge_dst, jnp.int32),
-        edge_shift=jnp.asarray(edge_shift, dtype),
-        edge_mask=jnp.ones((e,), bool),
-        cell=jnp.asarray(cell, dtype)[None],
-        volume=jnp.asarray([max(volume, 1e-3)], dtype),
-        num_atoms=jnp.asarray([n], jnp.int32),
-        graph_mask=jnp.ones((1,), bool),
-        energy=jnp.asarray([energy], dtype),
-        forces=jnp.asarray(forces, dtype),
-        stress=jnp.asarray(stress, dtype)[None],
-        modal=jnp.asarray([modal], jnp.int32),
-        data_weight=jnp.asarray([list(data_weight)], dtype),
+        positions=np.asarray(positions, dtype),
+        species=np.asarray(species, np.int32),
+        atom_mask=np.ones((n,), bool),
+        batch=np.zeros((n,), np.int32),
+        edge_src=np.asarray(edge_src, np.int32),
+        edge_dst=np.asarray(edge_dst, np.int32),
+        edge_shift=np.asarray(edge_shift, dtype),
+        edge_mask=np.ones((e,), bool),
+        cell=np.asarray(cell, dtype)[None],
+        volume=np.asarray([max(volume, 1e-3)], dtype),
+        num_atoms=np.asarray([n], np.int32),
+        graph_mask=np.ones((1,), bool),
+        energy=np.asarray([energy], dtype),
+        forces=np.asarray(forces, dtype),
+        stress=np.asarray(stress, dtype)[None],
+        modal=np.asarray([modal], np.int32),
+        data_weight=np.asarray([list(data_weight)], dtype),
     )
 
 

@@ -199,7 +199,19 @@ class DistributedMDEngine:
         # 0.9 when running ``integrator="npt"``.
         self.s_min = float(min(scale_budget, 1.0))
         assert self.s_min > 0.5, "scale_budget must be in (0.5, 1]"
-        self.spec = dataclasses.replace(spec, edge_dense_k=0, conv_fused=False)
+        # per-device memory policy: the force backward over the extended
+        # (owned+ghost) set must not materialize (E_local, dim_mid)
+        # per-edge tensors for every layer — rematerialize layers and
+        # keep/raise an edge-chunk bound (a mesh-1 run at 10k atoms
+        # measured 16.4 GB HBM without this; specs with their own chunk
+        # keep it)
+        self.spec = dataclasses.replace(
+            spec,
+            edge_dense_k=0,
+            conv_fused=False,
+            remat_layers=True,
+            edge_chunk=spec.edge_chunk or 32768,
+        )
         if fused is None:
             env = os.environ.get("SEVENNET_TPU_FUSED")
             if env is not None:
@@ -610,7 +622,13 @@ class DistributedMDEngine:
         own = jnp.clip((u * Dv).astype(jnp.int32), 0, Dv - 1)
         rel = own - d
         stay = (rel == 0) & amask
-        if Dv == 2:
+        if Dv == 1:
+            # degenerate axis: the device owns the whole extent — nothing
+            # migrates (rel == Dv-1 == 0 would otherwise mark EVERY
+            # staying atom as lo-bound and overflow the migrate buffer)
+            go_lo = jnp.zeros_like(stay)
+            go_hi = jnp.zeros_like(stay)
+        elif Dv == 2:
             # lo and hi neighbors are the SAME device: rel=+-1 would match
             # both direction masks and duplicate the atom — send once
             go_lo = (rel != 0) & amask
@@ -899,8 +917,7 @@ class DistributedMDEngine:
         x = linear_apply(
             spec.embed_linear, params["onehot_to_feature_x"], onehot
         )
-        for layer in spec.layers:
-            t = layer.t
+        def layer_step(x, params, layer, t):
             if layer.sc_type == "nequip":
                 sc = fctp_apply(
                     layer.sc_fctp, params[f"{t}_self_connection_intro"], x,
@@ -914,6 +931,16 @@ class DistributedMDEngine:
                 sc = None
             x1 = linear_apply(layer.si1, params[f"{t}_self_interaction_1"], x)
             x_ext = self._staged_ext(x1, comm)
+            from ..ops.fused_conv import chunk_threshold
+
+            # stream row chunks when the gathered per-edge tensor is too
+            # large to materialize per layer (same policy as model.py)
+            rc_ext = (
+                (spec.edge_chunk // K)
+                if spec.edge_chunk
+                and NL * K * layer.conv.irreps_x.dim * 4 > chunk_threshold()
+                else 0
+            )
             if vec_fused:
                 from ..ops.fused_conv import fused_conv_apply_ext_vec
                 from ..model.model import _edge_embed_spec
@@ -927,6 +954,7 @@ class DistributedMDEngine:
                     vec_rows,
                     comm["edge_src"],
                     param_grads=False,
+                    row_chunk=rc_ext,
                 )
             elif self.fused:
                 # Pallas kernels over the (NL, K) slot grid; senders index
@@ -942,6 +970,7 @@ class DistributedMDEngine:
                     sh.reshape(NL, K, -1),
                     comm["edge_src"],
                     param_grads=False,
+                    row_chunk=rc_ext,
                 )
             else:
                 w = scalar_mlp_apply(
@@ -956,7 +985,16 @@ class DistributedMDEngine:
             xc = linear_apply(layer.si2, params[f"{t}_self_interaction_2"], xc)
             if sc is not None:
                 xc = xc + sc
-            x = gate_apply(layer.gate, xc)
+            return gate_apply(layer.gate, xc)
+
+        if spec.remat_layers:
+            # the force backward otherwise holds every layer's gathered
+            # per-edge tensors (~16 GB/device at 10k atoms, measured
+            # OOM); recomputing a layer re-issues its halo ppermutes —
+            # the standard remat/comm tradeoff
+            layer_step = jax.checkpoint(layer_step, static_argnums=(2, 3))
+        for layer in spec.layers:
+            x = layer_step(x, params, layer, layer.t)
 
         if spec.readout_as_fcn:
             e_scaled = scalar_mlp_apply(spec.readout_fcn, params["readout_FCN"], x)

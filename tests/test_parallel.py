@@ -126,7 +126,6 @@ def test_distributed_md_matches_serial(mesh_shape, names):
     rebuilds exercised (reference parallel algorithm,
     pair_e3gnn_parallel.cpp:194-506 + comm_brick.cpp staged swaps)."""
     import jax
-    import numpy as np
     from jax.sharding import Mesh
 
     from sevennet_tpu.io import load_sevennet_checkpoint
@@ -539,3 +538,51 @@ def test_distributed_npt_matches_serial():
     assert np.abs(ke_s - ke_d).max() < 5e-3 * max(1.0, np.abs(ke_s).max())
     assert abs(scale_s - scale_d) < 5e-4, (scale_s, scale_d)
     assert int(np.asarray(st_d.atom_mask).sum()) == n
+
+
+@pytest.mark.slow
+def test_distributed_md_mesh1_runs():
+    """mesh=(1,) DistributedMDEngine: the degenerate single-device
+    decomposition (every axis extent owned by one device) must run
+    without ghost bands or migration — regression for the Dv==1
+    migration mask marking every staying atom as lo-bound (rel ==
+    Dv-1 == 0) and overflowing the migrate buffer (round 5; the only
+    distributed configuration measurable on one real chip)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from sevennet_tpu.md import MDEngine
+    from sevennet_tpu.parallel.md import DistributedMDEngine
+    from sevennet_tpu.model import build_model_spec
+
+    spec = build_model_spec({
+        "cutoff": 3.0, "channel": 8, "lmax": 1, "is_parity": False,
+        "num_convolution_layer": 2,
+        "irreps_manual": ["8x0e", "8x0e+4x1e", "8x0e"],
+        "weight_nn_hidden_neurons": [8, 8],
+        "radial_basis": {"radial_basis_name": "bessel",
+                         "bessel_basis_num": 4},
+        "cutoff_function": {"cutoff_function_name": "XPLOR",
+                            "cutoff_on": 2.5},
+        "self_connection_type": "linear", "conv_denominator": 8.0,
+        "chemical_species": ["H", "O"],
+    })
+    params = model_init(jax.random.PRNGKey(0), spec)
+    rng = np.random.default_rng(5)
+    cell = np.eye(3) * 14.0
+    pos = rng.uniform(0, 14.0, (48, 3))
+    Z = np.where(rng.random(48) < 0.5, 1, 8)
+    mesh = Mesh(np.array([jax.devices()[0]]), axis_names=("dd",))
+    dist = DistributedMDEngine(spec, params, cell, mesh, skin=0.4,
+                               matmul_precision="highest")
+    st = dist.make_state(pos, Z, temperature=50.0, seed=0)
+    assert not bool(st.nl_overflow)
+    st, (pe, _) = dist.run(st, 3, dt=0.2, chunk=3)
+
+    ser = MDEngine(spec, params, cell, fused=False, sort_atoms=False,
+                   matmul_precision="highest")
+    ss = ser.make_state(pos, Z, temperature=50.0, seed=0)
+    ss, (pe_s, _) = ser.run(ss, 3, dt=0.2, chunk=3)
+    np.testing.assert_allclose(
+        np.asarray(pe), np.asarray(pe_s), rtol=0, atol=5e-4
+    )
