@@ -1937,15 +1937,15 @@ _fused_conv_ring.defvjp(_fused_conv_ring_fwd, _fused_conv_ring_bwd)
 def _window_gather_on() -> bool:
     """Window-local xg gathers in the ring paths (round 5): the ring
     contract guarantees every edge's source atom lies within W chunks of
-    its receiver chunk, so each chunk can dynamic-slice the (2W+1)*RC-row
-    window into a small contiguous table and gather locally. Default OFF:
-    r5_gather_probe measured the isolated gather rate FLAT (~22-24
-    ns/row) across table size, dtype and index locality, so the
-    pre-slice copies are pure overhead unless a full-program A/B at 100k
-    shows otherwise."""
+    its receiver chunk, so each chunk dynamic-slices the (2W+1)*RC-row
+    window (~45 MB at 100k) into a contiguous table and gathers locally.
+    Measured 2546 -> 1868 ms/step at 100k (-27%): in-context XLA row
+    gathers run ~4x faster from tens-of-MB tables (the isolated
+    r5_gather_probe shows a flat rate — the effect only appears in full
+    programs, cf. the 10k trace's 3.4 vs 14.9 ns/row)."""
     import os
 
-    return bool(int(os.environ.get("SEVENNET_TPU_WINDOW_GATHER", 0)))
+    return bool(int(os.environ.get("SEVENNET_TPU_WINDOW_GATHER", 1)))
 
 
 def _windowed_xg(x_ext, src_c, i, W, RC, nb, N, A):
